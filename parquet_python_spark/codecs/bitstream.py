@@ -1,0 +1,91 @@
+"""Low-level bit-stream primitives shared by all codecs.
+
+Wire-format parity targets (see SURVEY.md §2.3):
+  * ULEB128 varint        — /root/reference/parquet/encoding.py:97-107 (D9)
+  * LSB-first bit-packing — /root/reference/parquet/encoding.py:139-180 (D12)
+
+All kernels are vectorized numpy; no per-value Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "encode_varint",
+    "decode_varint",
+    "width_from_max_int",
+    "pack_bits_lsb",
+    "unpack_bits_lsb",
+]
+
+
+def width_from_max_int(value: int) -> int:
+    """Bits needed to hold ``value``: ceil(log2(value+1)).
+
+    Parity with /root/reference/parquet/encoding.py:129-131 (D11), expressed
+    via int.bit_length (identical for all non-negative ints).
+    """
+    if value < 0:
+        raise ValueError("width_from_max_int expects a non-negative value")
+    return int(value).bit_length()
+
+
+def encode_varint(value: int) -> bytes:
+    """ULEB128-encode a non-negative int (7-bit groups, MSB continuation)."""
+    if value < 0:
+        raise ValueError("varint expects a non-negative value")
+    out = bytearray()
+    while True:
+        group = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(group | 0x80)
+        else:
+            out.append(group)
+            return bytes(out)
+
+
+def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Decode a ULEB128 varint from ``buf`` at ``pos``; return (value, new_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        byte = buf[pos]
+        pos += 1
+        result |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return result, pos
+        shift += 7
+
+
+def pack_bits_lsb(values: np.ndarray, width: int) -> bytes:
+    """Bit-pack ``values`` at ``width`` bits each, LSB-first within bytes.
+
+    The produced byte stream is decodable by the reference's bit-packed-run
+    reader (encoding.py:139-180): value bits are laid out least-significant
+    bit first and may cross byte boundaries.  ``len(values)`` must be a
+    multiple of 8 (one parquet "group" = 8 values); pad with zeros upstream.
+    """
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    if n % 8:
+        raise ValueError("pack_bits_lsb needs a multiple of 8 values")
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    # (n, width) bit matrix, row-major => overall LSB-first bit order.
+    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits_lsb(data: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits_lsb`; returns int64 array of ``count`` values."""
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    if width == 0:
+        return np.zeros(count, dtype=np.int64)
+    raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    bits = np.unpackbits(raw, bitorder="little", count=count * width)
+    weights = (np.int64(1) << np.arange(width, dtype=np.int64))
+    return bits.reshape(count, width).astype(np.int64) @ weights

@@ -1,0 +1,97 @@
+"""Dictionary codec in the reference's PLAIN_DICTIONARY wire format.
+
+Layout produced (decodable by the reference reader, SURVEY.md D15/D16):
+
+    [4B <i n_dict] [dictionary page: PLAIN values]      (__init__.py:381-395)
+    [1B bit width] [RLE/bit-packed hybrid of indices]   (__init__.py:344-357)
+
+The 4-byte dictionary count stands in for the thrift
+DictionaryPageHeader.num_values field (we carry no thrift framing); the
+index section is byte-identical to a reference PLAIN_DICTIONARY data page
+body, so tests decode it with parquet_python_spark.reference_decoder.
+
+Encode: pandas.factorize (first-occurrence order) + hybrid of codes.
+Decode: numpy fancy indexing (dictionary.take(indices)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .bitstream import width_from_max_int
+from .plain import (
+    decode_plain_byte_array,
+    decode_plain_int32,
+    decode_plain_int64,
+    encode_plain_byte_array,
+    encode_plain_int32,
+    encode_plain_int64,
+)
+from .rle import decode_hybrid, encode_hybrid
+
+__all__ = ["encode_dict", "decode_dict", "dict_size_estimate"]
+
+_PLAIN_ENC = {
+    "int32": encode_plain_int32,
+    "int64": encode_plain_int64,
+    "byte_array": encode_plain_byte_array,
+}
+_PLAIN_DEC = {
+    "int32": decode_plain_int32,
+    "int64": decode_plain_int64,
+    "byte_array": decode_plain_byte_array,
+}
+
+
+def encode_dict(values, physical_type: str = "int32") -> bytes:
+    """Dictionary-encode ``values`` (numpy array or list of bytes)."""
+    codes, uniques = pd.factorize(np.asarray(values), use_na_sentinel=False)
+    if physical_type == "byte_array":
+        dict_page = _PLAIN_ENC[physical_type](list(uniques))
+    else:
+        dict_page = _PLAIN_ENC[physical_type](uniques)
+    width = width_from_max_int(max(len(uniques) - 1, 0))
+    index_page = encode_hybrid(codes.astype(np.int64), width)
+    return b"".join(
+        [
+            int(len(uniques)).to_bytes(4, "little", signed=True),
+            dict_page,
+            bytes([width]),
+            index_page,
+        ]
+    )
+
+
+def decode_dict(data: bytes, n: int, physical_type: str = "int32"):
+    """Vectorized inverse of :func:`encode_dict`."""
+    n_dict = int.from_bytes(data[:4], "little", signed=True)
+    fo_pos = 4
+    if physical_type == "byte_array":
+        # walk the PLAIN byte-array page to find its end
+        mv = memoryview(data)
+        pos = fo_pos
+        offsets = []
+        for _ in range(n_dict):
+            ln = int.from_bytes(mv[pos : pos + 4], "little", signed=True)
+            offsets.append((pos + 4, ln))
+            pos += 4 + ln
+        uniques = np.array(
+            [bytes(mv[o : o + ln]) for o, ln in offsets], dtype=object
+        )
+        body_start = pos
+    else:
+        itemsize = 4 if physical_type == "int32" else 8
+        body_start = fo_pos + n_dict * itemsize
+        uniques = _PLAIN_DEC[physical_type](data[fo_pos:body_start], n_dict)
+    width = data[body_start]
+    indices = decode_hybrid(data[body_start + 1 :], width, n)
+    if physical_type == "byte_array":
+        return uniques[indices]
+    return uniques[np.asarray(indices)]
+
+
+def dict_size_estimate(card: int, n: int, value_bytes: int) -> int:
+    """Predicted size: dict page + bit-packed indices (ignores index runs)."""
+    width = width_from_max_int(max(card - 1, 0))
+    return 4 + card * value_bytes + 1 + (n + 7) // 8 * width + 8

@@ -1,0 +1,89 @@
+"""Frame-of-reference, plain bit-packing, and delta codecs (numpy kernels).
+
+These generalize the reference's bit-packed run (encoding.py:139-180) into
+standalone column codecs; FOR and DELTA have no reference counterpart
+(SURVEY.md §2.3 "New-engine codecs" — cf. FastLanes / Lemire & Boytsov,
+"Decoding billions of integers per second").
+
+Payload layouts (params travel in the blocks-table `params` JSON, not in
+the payload):
+
+    bitpack : pack_bits_lsb(values, width)              params: width
+    for     : pack_bits_lsb(values - ref, width)        params: ref, width
+    delta   : pack_bits_lsb(zigzag(diff(values)), width) params: first, width
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitstream import pack_bits_lsb, unpack_bits_lsb, width_from_max_int
+
+__all__ = [
+    "encode_bitpack",
+    "decode_bitpack",
+    "encode_for",
+    "decode_for",
+    "encode_delta",
+    "decode_delta",
+]
+
+
+def _pad8(vals: np.ndarray) -> np.ndarray:
+    pad = (-len(vals)) % 8
+    if pad:
+        return np.concatenate([vals, np.zeros(pad, dtype=vals.dtype)])
+    return vals
+
+
+def encode_bitpack(values: np.ndarray) -> tuple[bytes, dict]:
+    vals = np.ascontiguousarray(values, dtype=np.int64)
+    width = width_from_max_int(int(vals.max(initial=0)))
+    return pack_bits_lsb(_pad8(vals), width), {"width": width}
+
+
+def decode_bitpack(data: bytes, n: int, params: dict) -> np.ndarray:
+    return unpack_bits_lsb(data, params["width"], n)
+
+
+def encode_for(values: np.ndarray) -> tuple[bytes, dict]:
+    vals = np.ascontiguousarray(values, dtype=np.int64)
+    if len(vals) == 0:
+        return b"", {"ref": 0, "width": 0}
+    ref = int(vals.min())
+    shifted = vals - ref
+    width = width_from_max_int(int(shifted.max()))
+    return pack_bits_lsb(_pad8(shifted), width), {"ref": ref, "width": width}
+
+
+def decode_for(data: bytes, n: int, params: dict) -> np.ndarray:
+    return unpack_bits_lsb(data, params["width"], n) + params["ref"]
+
+
+def _zigzag(vals: np.ndarray) -> np.ndarray:
+    return (vals << 1) ^ (vals >> 63)
+
+
+def _unzigzag(vals: np.ndarray) -> np.ndarray:
+    return (vals >> 1) ^ -(vals & 1)
+
+
+def encode_delta(values: np.ndarray) -> tuple[bytes, dict]:
+    vals = np.ascontiguousarray(values, dtype=np.int64)
+    if len(vals) == 0:
+        return b"", {"first": 0, "width": 0}
+    first = int(vals[0])
+    zz = _zigzag(np.diff(vals))
+    width = width_from_max_int(int(zz.max(initial=0)))
+    return pack_bits_lsb(_pad8(zz), width), {"first": first, "width": width}
+
+
+def decode_delta(data: bytes, n: int, params: dict) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    deltas = _unzigzag(unpack_bits_lsb(data, params["width"], n - 1))
+    out = np.empty(n, dtype=np.int64)
+    out[0] = params["first"]
+    np.cumsum(deltas, out=out[1:])
+    out[1:] += params["first"]
+    return out

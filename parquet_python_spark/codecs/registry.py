@@ -1,0 +1,298 @@
+"""Codec registry + per-chunk auto-selector (the engine's 'optimizer').
+
+SURVEY.md §4: codec auto-selection is a physical-data decision made inside
+the encode kernel — sampled cardinality / run-count / value-range stats feed
+a bytes cost model that picks dict / RLE-hybrid / FSST / bit-pack / FOR /
+delta / PLAIN per column chunk.  The reference parses parquet Statistics but
+never consumes them (parquet.thrift:198-206); here they drive the choice.
+
+Public surface:
+    encode_column(values, kind)  -> (codec_name, params_dict, payload_bytes)
+    decode_column(codec, payload, n, params, kind) -> values
+    chunk_stats(values)          -> dict of selector stats (also exported to
+                                    the metrics/lineage table)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from .bitstream import width_from_max_int
+from .dictionary import decode_dict, dict_size_estimate, encode_dict
+from .forpack import (
+    decode_bitpack,
+    decode_delta,
+    decode_for,
+    encode_bitpack,
+    encode_delta,
+    encode_for,
+)
+from .fsst import decode_fsst, encode_fsst, fsst_gain_sample
+from .plain import (
+    decode_plain_byte_array,
+    decode_plain_int32,
+    decode_plain_int64,
+    encode_plain_byte_array,
+    encode_plain_int32,
+    encode_plain_int64,
+)
+from .rle import decode_hybrid, encode_hybrid, hybrid_size_estimate
+
+__all__ = ["encode_column", "decode_column", "chunk_stats", "select_codec"]
+
+_SAMPLE = 65536
+
+
+def chunk_stats(values: np.ndarray) -> dict:
+    """Sampled per-chunk statistics driving the codec selector."""
+    vals = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(vals)
+    if n == 0:
+        return {
+            "n": 0, "min": 0, "max": 0, "n_runs": 0,
+            "card_est": 0, "pair_dup": 0.0,
+        }
+    sample = vals[:_SAMPLE]
+    card_sample = len(np.unique(sample))
+    # first-order extrapolation: saturated sample => assume card grows
+    if card_sample >= 0.9 * len(sample) and n > len(sample):
+        card_est = min(n, int(card_sample * n / len(sample)))
+    else:
+        card_est = card_sample
+    boundaries = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+    counts = np.diff(np.concatenate(([0], boundaries, [n])))
+    from .rle import MIN_RLE_RUN
+
+    long_mask = counts >= MIN_RLE_RUN
+    return {
+        "n": n,
+        "min": int(vals.min()),
+        "max": int(vals.max()),
+        "n_runs": len(counts),
+        "n_long_runs": int(long_mask.sum()),
+        "n_long_vals": int(counts[long_mask].sum()),
+        "card_est": card_est,
+        "pair_dup": fsst_gain_sample(sample),
+    }
+
+
+def select_codec(stats: dict, kind: str = "int") -> str:
+    """Pick the codec with the smallest predicted encoded size."""
+    n = stats["n"]
+    if n == 0:
+        return "plain64"
+    lo, hi = stats["min"], stats["max"]
+    nonneg = lo >= 0
+    fits32 = -(2**31) <= lo and hi < 2**31
+    costs: dict[str, float] = {}
+    costs["plain64"] = 8 * n
+    if fits32:
+        costs["plain32"] = 4 * n
+    if nonneg:
+        w = width_from_max_int(hi)
+        if w <= 31:
+            costs["bitpack"] = (n + 7) // 8 * w
+            # rle: long runs collapse to headers, the rest is bit-packed
+            # (exactly the encoder's segmentation, see rle.encode_hybrid)
+            n_long_runs = stats.get("n_long_runs", 0)
+            n_bp = n - stats.get("n_long_vals", 0) + 8 * n_long_runs
+            costs["rle"] = (
+                n_long_runs * (3 + (w + 7) // 8)
+                + (n_bp + 7) // 8 * w
+                + 5 * (n_long_runs + 1)
+            )
+    w_for = width_from_max_int(max(hi - lo, 0))
+    if w_for <= 62:
+        costs["for"] = (n + 7) // 8 * w_for + 16
+    card = max(stats["card_est"], 1)
+    if card <= n // 2 or card <= 4096:
+        costs["dict"] = dict_size_estimate(card, n, 8 if not fits32 else 4)
+    avg_run = n / max(stats["n_runs"], 1)
+    if (
+        nonneg
+        and stats["pair_dup"] > 0.45
+        and hi < 2**24
+        and card > 16
+        and avg_run < 4  # run-dominated chunks belong to rle, not fsst
+    ):
+        # conservative: ~60% of duplicated pairs become symbol hits
+        w = width_from_max_int(hi + 256)
+        est_stream = n * (1 - min(stats["pair_dup"], 0.9) * 0.6)
+        costs["fsst"] = est_stream * w / 8 + 2048
+    return min(costs, key=costs.get)  # type: ignore[arg-type]
+
+
+# ---------------------------------------------------------------- integers
+
+def _enc_int(vals: np.ndarray, codec: str) -> tuple[dict, bytes]:
+    if codec == "plain64":
+        return {}, encode_plain_int64(vals)
+    if codec == "plain32":
+        return {}, encode_plain_int32(vals)
+    if codec == "bitpack":
+        payload, params = encode_bitpack(vals)
+        return params, payload
+    if codec == "for":
+        payload, params = encode_for(vals)
+        return params, payload
+    if codec == "delta":
+        payload, params = encode_delta(vals)
+        return params, payload
+    if codec == "rle":
+        w = width_from_max_int(int(np.max(vals, initial=0)))
+        return {"width": w}, encode_hybrid(vals, w)
+    if codec == "dict":
+        fits32 = len(vals) == 0 or (vals.min() >= -(2**31) and vals.max() < 2**31)
+        ptype = "int32" if fits32 else "int64"
+        return {"ptype": ptype}, encode_dict(
+            vals.astype(np.int32) if ptype == "int32" else vals, ptype
+        )
+    if codec == "fsst":
+        alphabet = int(np.max(vals, initial=0)) + 1
+        payload, params = encode_fsst(vals, alphabet)
+        return params, payload
+    raise KeyError(f"unknown int codec {codec}")
+
+
+def _dec_int(data: bytes, n: int, codec: str, params: dict) -> np.ndarray:
+    if codec == "plain64":
+        return np.asarray(decode_plain_int64(data, n), dtype=np.int64)
+    if codec == "plain32":
+        return np.asarray(decode_plain_int32(data, n), dtype=np.int64)
+    if codec == "bitpack":
+        return decode_bitpack(data, n, params)
+    if codec == "for":
+        return decode_for(data, n, params)
+    if codec == "delta":
+        return decode_delta(data, n, params)
+    if codec == "rle":
+        return decode_hybrid(data, params["width"], n)
+    if codec == "dict":
+        return np.asarray(
+            decode_dict(data, n, params.get("ptype", "int32")), dtype=np.int64
+        )
+    if codec == "fsst":
+        return decode_fsst(data, n, params)
+    raise KeyError(f"unknown int codec {codec}")
+
+
+# ----------------------------------------------------------------- strings
+
+def _enc_str(values, codec: str) -> tuple[dict, bytes]:
+    """String-column codecs.  values: sequence of str/bytes."""
+    as_bytes = [v.encode() if isinstance(v, str) else bytes(v) for v in values]
+    if codec == "dict":
+        return {"ptype": "byte_array"}, encode_dict(
+            np.array(as_bytes, dtype=object), "byte_array"
+        )
+    lens = np.fromiter((len(b) for b in as_bytes), dtype=np.int64, count=len(as_bytes))
+    blob = b"".join(as_bytes)
+    len_payload, len_params = encode_for(lens)
+    if codec == "str_plain":
+        body = blob
+        body_params: dict = {}
+    elif codec == "str_fsst":
+        stream = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        body, body_params = encode_fsst(stream, 256)
+    else:
+        raise KeyError(f"unknown str codec {codec}")
+    payload = b"".join(
+        [
+            int(len(len_payload)).to_bytes(4, "little"),
+            len_payload,
+            int(len(blob)).to_bytes(8, "little"),
+            body,
+        ]
+    )
+    return {"lens": len_params, "body": body_params}, payload
+
+
+def _dec_str(data: bytes, n: int, codec: str, params: dict) -> list[bytes]:
+    if codec == "dict":
+        return list(decode_dict(data, n, "byte_array"))
+    mv = memoryview(data)
+    len_sz = int.from_bytes(mv[0:4], "little")
+    lens = decode_for(mv[4 : 4 + len_sz], n, params["lens"])
+    pos = 4 + len_sz
+    blob_n = int.from_bytes(mv[pos : pos + 8], "little")
+    pos += 8
+    if codec == "str_plain":
+        blob = bytes(mv[pos:])[:blob_n]
+    elif codec == "str_fsst":
+        stream = decode_fsst(bytes(mv[pos:]), blob_n, params["body"])
+        blob = stream.astype(np.uint8).tobytes()
+    else:
+        raise KeyError(f"unknown str codec {codec}")
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return [blob[offsets[i] : offsets[i + 1]] for i in range(n)]
+
+
+def select_str_codec(values) -> str:
+    """Selector for string columns: dict when low-cardinality, FSST when the
+    byte stream shows motif repetition, plain otherwise."""
+    n = len(values)
+    if n == 0:
+        return "str_plain"
+    probe = values[: min(n, 8192)]
+    card = len(set(probe))
+    if card <= max(16, len(probe) // 8):
+        return "dict"
+    blob = "".join(v if isinstance(v, str) else "" for v in probe[:1024]).encode()
+    if len(blob) > 256:
+        stream = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        if fsst_gain_sample(stream) > 0.5:
+            return "str_fsst"
+    return "str_plain"
+
+
+# ------------------------------------------------------------- public API
+
+def encode_column(values, kind: str = "int", codec: str | None = None):
+    """Encode one column chunk; returns (codec, params, payload, stats)."""
+    if kind == "int":
+        vals = np.ascontiguousarray(values, dtype=np.int64)
+        stats = chunk_stats(vals)
+        codec = codec or select_codec(stats, kind)
+        params, payload = _enc_int(vals, codec)
+        return codec, params, payload, stats
+    if kind == "str":
+        codec = codec or select_str_codec(values)
+        params, payload = _enc_str(values, codec)
+        stats = {"n": len(values)}
+        return codec, params, payload, stats
+    if kind == "float32":
+        from .plain import encode_plain_float
+
+        return "plain_f32", {}, encode_plain_float(values), {"n": len(values)}
+    if kind == "float64":
+        from .plain import encode_plain_double
+
+        return "plain_f64", {}, encode_plain_double(values), {"n": len(values)}
+    raise KeyError(f"unknown kind {kind}")
+
+
+def decode_column(codec: str, payload: bytes, n: int, params: dict, kind: str = "int"):
+    if kind == "int":
+        return _dec_int(payload, n, codec, params)
+    if kind == "str":
+        return _dec_str(payload, n, codec, params)
+    if kind == "float32":
+        from .plain import decode_plain_float
+
+        return np.asarray(decode_plain_float(payload, n))
+    if kind == "float64":
+        from .plain import decode_plain_double
+
+        return np.asarray(decode_plain_double(payload, n))
+    raise KeyError(f"unknown kind {kind}")
+
+
+def params_to_json(params: dict) -> str:
+    return json.dumps(params, separators=(",", ":"))
+
+
+def params_from_json(s: str) -> dict:
+    return json.loads(s) if s else {}

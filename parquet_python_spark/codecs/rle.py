@@ -1,0 +1,156 @@
+"""RLE / bit-packed hybrid codec in the reference's exact wire format.
+
+Grammar (SURVEY.md D10/D12/D14; wire semantics re-derived from
+/root/reference/parquet/encoding.py:110-126 [RLE run],
+encoding.py:139-180 [bit-packed run], encoding.py:216-237 [hybrid loop]):
+
+    hybrid  := run*
+    run     := varint header, payload
+    header LSB == 0  ->  RLE run:  count = header >> 1,
+                         payload = value in ceil(width/8) bytes little-endian
+    header LSB == 1  ->  bit-packed run: groups = header >> 1,
+                         payload = groups * width bytes holding groups*8
+                         values, LSB-first across byte boundaries
+
+The encoder is run-aware: maximal runs of >= MIN_RLE_RUN identical values
+become RLE runs; everything between them is emitted as one bit-packed run
+whose value count is kept a multiple of 8 by borrowing the first few values
+of the following long run (so no zero padding ever lands mid-stream — only
+the final bit-packed run may be zero-padded, which the reference decoder
+tolerates and the caller truncates, mirroring __init__.py:366-368).
+
+Encode is vectorized numpy; the only Python-level loop is over *long runs*
+(each iteration covers >= MIN_RLE_RUN values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitstream import (
+    decode_varint,
+    encode_varint,
+    pack_bits_lsb,
+    unpack_bits_lsb,
+    width_from_max_int,
+)
+
+__all__ = ["encode_hybrid", "decode_hybrid", "hybrid_size_estimate", "MIN_RLE_RUN"]
+
+# A run must be at least this long to be worth an RLE header; 16 guarantees
+# that after donating up to 7 values to 8-align the preceding bit-packed run
+# the RLE run still repeats >= 9 times.
+MIN_RLE_RUN = 16
+
+
+def _rle_value_bytes(value: int, width: int) -> bytes:
+    nbytes = (width + 7) // 8
+    # Reference reads this zero-padded to 4 bytes as '<i' (encoding.py:117-121);
+    # emitting the low ceil(width/8) bytes little-endian round-trips exactly
+    # for any value representable in `width` bits.
+    return int(value).to_bytes(nbytes, "little", signed=False)
+
+
+def _emit_bitpacked(out: list[bytes], seg: np.ndarray, width: int) -> None:
+    """Emit one bit-packed run for ``seg`` (padded to a multiple of 8)."""
+    n = len(seg)
+    if n == 0:
+        return
+    pad = (-n) % 8
+    if pad:
+        seg = np.concatenate([seg, np.zeros(pad, dtype=seg.dtype)])
+    groups = len(seg) // 8
+    out.append(encode_varint((groups << 1) | 1))
+    out.append(pack_bits_lsb(seg, width))
+
+
+def encode_hybrid(values: np.ndarray, width: int) -> bytes:
+    """Encode ``values`` (non-negative, < 2**width) as a raw hybrid run stream.
+
+    No length prefix is included; callers that need the reference's
+    4-byte-length framing (encoding.py:224-229) prepend it themselves.
+    """
+    vals = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(vals)
+    if n == 0:
+        return b""
+    if width == 0:
+        # All values are zero: one RLE run covers everything.
+        return encode_varint(n << 1) + _rle_value_bytes(0, 0)
+
+    out: list[bytes] = []
+    boundaries = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [n]))
+    counts = ends - starts
+    long_idx = np.flatnonzero(counts >= MIN_RLE_RUN)
+
+    pos = 0
+    for ri in long_idx:
+        s = int(starts[ri])
+        e = int(ends[ri])
+        # 8-align the pending bit-packed segment by borrowing run values.
+        borrow = (-(s - pos)) % 8
+        _emit_bitpacked(out, vals[pos : s + borrow], width)
+        run_count = e - (s + borrow)
+        out.append(encode_varint(run_count << 1))
+        out.append(_rle_value_bytes(int(vals[s]), width))
+        pos = e
+    _emit_bitpacked(out, vals[pos:], width)
+    return b"".join(out)
+
+
+def decode_hybrid(data: bytes, width: int, n: int | None = None) -> np.ndarray:
+    """Decode a raw hybrid run stream; truncate to ``n`` values when given.
+
+    Mirrors the reference's loop (encoding.py:231-236) with bulk numpy run
+    expansion; the final-bit-packed-run zero overflow is cut by ``n``
+    (reference: __init__.py:366-368).
+    """
+    chunks: list[np.ndarray] = []
+    pos = 0
+    total = len(data)
+    produced = 0
+    while pos < total and (n is None or produced < n):
+        header, pos = decode_varint(data, pos)
+        if header & 1:
+            groups = header >> 1
+            count = groups * 8
+            nbytes = groups * width
+            chunk = unpack_bits_lsb(
+                np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=pos),
+                width,
+                count,
+            )
+            pos += nbytes
+        else:
+            count = header >> 1
+            nbytes = (width + 7) // 8
+            raw = data[pos : pos + nbytes].ljust(4, b"\x00")
+            value = int.from_bytes(raw, "little", signed=True)
+            pos += nbytes
+            chunk = np.full(count, value, dtype=np.int64)
+        chunks.append(chunk)
+        produced += len(chunk)
+    if not chunks:
+        return np.empty(0, dtype=np.int64)
+    res = np.concatenate(chunks)
+    return res[:n] if n is not None else res
+
+
+def hybrid_size_estimate(vals: np.ndarray, width: int) -> int:
+    """Predicted encoded size in bytes (exact same segmentation as encode)."""
+    n = len(vals)
+    if n == 0:
+        return 0
+    if width == 0:
+        return len(encode_varint(n << 1)) + 1
+    boundaries = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+    counts = np.diff(np.concatenate(([0], boundaries, [n])))
+    long_counts = counts[counts >= MIN_RLE_RUN]
+    n_long = int(long_counts.sum())
+    n_rle_runs = len(long_counts)
+    rle_bytes = n_rle_runs * (3 + (width + 7) // 8)  # ~3B varint upper bound
+    bp_values = n - n_long + 8 * n_rle_runs  # borrowed alignment upper bound
+    bp_bytes = (bp_values + 7) // 8 * width + 5 * (n_rle_runs + 1)
+    return rle_bytes + bp_bytes
