@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: engine encode throughput (tokens/sec) on the deterministic
+synthetic tokens table (BASELINE.json input_hint shape), plus wall times of
+the flagship round-trips and pipeline operators at the sf dir.
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+    BENCH_TOKEN_ROWS     tokens-table rows (default 120000, ~25M tokens)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("BENCH_TOKEN_ROWS", "120000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from parquet_python_spark.engine import decode_blocks, encode_job
+    from parquet_python_spark.session import get_spark
+    from parquet_python_spark.tokengen import write_tokens_table
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    workdir = tempfile.mkdtemp(prefix="pps_bench_")
+    tokens_path = os.path.join(workdir, "tokens")
+    encoded_path = os.path.join(workdir, "encoded")
+    try:
+        # -------- flagship: tokens-table encode/decode (not timed: datagen)
+        write_tokens_table(spark, tokens_path, n_rows, seed=42)
+        n_tokens = (
+            spark.read.parquet(tokens_path).agg(F.sum("n_tok")).collect()[0][0]
+        )
+
+        t0 = time.perf_counter()
+        stats = encode_job(spark, tokens_path, encoded_path)
+        queries["encode_tokens"] = time.perf_counter() - t0
+        extras["tokens_per_sec"] = n_tokens / queries["encode_tokens"]
+        extras["n_tokens"] = int(n_tokens)
+        extras["compression_ratio"] = stats["enc_bytes"] / max(stats["raw_bytes"], 1)
+
+        t0 = time.perf_counter()
+        blocks = spark.read.parquet(os.path.join(encoded_path, "blocks"))
+        decode_blocks(blocks).agg(F.sum("n_tok")).collect()
+        queries["decode_tokens"] = time.perf_counter() - t0
+        extras["decode_tokens_per_sec"] = n_tokens / queries["decode_tokens"]
+
+        # -------- driver-table queries at the sf dir
+        qs = entrymod.queries()
+        for name in [
+            "rt_lineitem_ints",
+            "rt_documents_auto",
+            "rt_events_dict",
+            "dedup_exact",
+            "dedup_minhash",
+            "ann_cosine_topk",
+            "agg_pricing_summary",
+            "join_customer_nation",
+            "text_stats",
+        ]:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            queries[name] = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+    out = {
+        "metric": "engine encode throughput (tokens/sec) + headline query wall times",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "cpus": cpus,
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""End-to-end Spark engine tests: encode -> blocks -> decode bit-identity,
+skew salting, checkpoint/resume, size gate (north-rule correctness gates)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_python_spark.engine import (
+    decode_blocks,
+    encode_job,
+    encode_table,
+    plan_salts,
+    with_partition_id,
+)
+from parquet_python_spark.tokengen import generate_tokens_df
+
+N_ROWS = 800
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    df = generate_tokens_df(spark, N_ROWS, SEED).cache()
+    df.count()
+    return df
+
+
+def _as_sorted_rows(df):
+    rows = df.select("doc_id", "tokens", "n_tok", "source").collect()
+    return sorted(
+        ((r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"]) for r in rows)
+    )
+
+
+def test_tokengen_deterministic_across_parallelism(spark):
+    a = generate_tokens_df(spark, 200, SEED, partitions=2)
+    b = generate_tokens_df(spark, 200, SEED, partitions=7)
+    assert _as_sorted_rows(a) == _as_sorted_rows(b)
+
+
+def test_tokengen_invariants(tokens_df):
+    bad = tokens_df.filter(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+    sources = {r["source"] for r in tokens_df.select("source").distinct().collect()}
+    assert sources == {"lowcard", "runny", "narrow", "texty", "random"}
+
+
+def test_encode_decode_bit_identity(spark, tokens_df):
+    """North-rule gate: engine encode -> decode reproduces every token array
+    bit-identically."""
+    blocks = encode_table(tokens_df, snapshot_id="t", with_ref_baseline=True)
+    blocks = blocks.cache()
+    decoded = decode_blocks(blocks)
+    assert _as_sorted_rows(decoded) == _as_sorted_rows(tokens_df)
+
+
+def test_size_gate_vs_reference_dict(spark, tokens_df):
+    """Compressed tokens size <= the reference's RLE/dict output on every
+    partition (ref_dict_bytes is the reference wire format size computed on
+    the identical values)."""
+    blocks = encode_table(tokens_df, snapshot_id="t", with_ref_baseline=True)
+    rows = blocks.filter(F.col("column") == "tokens").select(
+        "part_id", "codec", "enc_bytes", "ref_dict_bytes"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["enc_bytes"] <= r["ref_dict_bytes"], (
+            r["part_id"], r["codec"], r["enc_bytes"], r["ref_dict_bytes"],
+        )
+
+
+def test_selector_matches_profiles(spark, tokens_df):
+    """Codec auto-selection per source matches FIXTURES.md expectations."""
+    blocks = encode_table(
+        tokens_df, snapshot_id="t", target_tokens=10_000_000
+    )
+    picks = {
+        r["source"]: r["codec"]
+        for r in blocks.filter(F.col("column") == "tokens")
+        .select("source", "codec")
+        .collect()
+    }
+    assert picks["runny"] == "rle"
+    assert picks["narrow"] == "for"
+    assert picks["lowcard"] == "dict"
+    assert picks["random"] in ("bitpack", "for")
+    assert picks["texty"] in ("fsst", "dict")
+
+
+def test_salting_splits_skewed_source(spark, tokens_df):
+    salt_map = plan_salts(tokens_df, target_tokens=20_000)
+    # 'random' holds ~60% of rows -> must fan out over multiple salts
+    assert salt_map["random"] > 1
+    pid = with_partition_id(tokens_df, salt_map)
+    per_part = (
+        pid.filter(F.col("source") == "random")
+        .groupBy("part_id")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    )
+    assert len(per_part) == salt_map["random"]
+    # no empty buckets and rough balance (within 4x of each other)
+    totals = [r["t"] for r in per_part]
+    assert min(totals) > 0 and max(totals) / min(totals) < 4
+
+
+def test_encode_job_resume(spark, tokens_df, tmp_path):
+    """Checkpoint/resume: a second run over the same snapshot encodes zero
+    new partitions; blocks stay complete and decodable."""
+    inp = str(tmp_path / "input")
+    out = str(tmp_path / "encoded")
+    tokens_df.write.parquet(inp)
+
+    m1 = encode_job(spark, inp, out, target_tokens=50_000)
+    assert m1["resumed_skipped"] == 0
+    assert m1["rows"] == N_ROWS
+
+    m2 = encode_job(spark, inp, out, target_tokens=50_000)
+    assert m2["resumed_skipped"] == m1["partitions"]
+    assert m2["rows"] == N_ROWS  # no duplicates from the rerun
+
+    blocks = spark.read.parquet(os.path.join(out, "blocks"))
+    decoded = decode_blocks(blocks)
+    src = spark.read.parquet(inp)
+    assert _as_sorted_rows(decoded) == _as_sorted_rows(src)
+
+
+def test_metrics_lineage_columns(spark, tokens_df, tmp_path):
+    inp = str(tmp_path / "input")
+    out = str(tmp_path / "encoded")
+    tokens_df.write.parquet(inp)
+    encode_job(spark, inp, out)
+    m = spark.read.parquet(os.path.join(out, "metrics"))
+    cols = set(m.columns)
+    assert {
+        "part_id", "source", "snapshot_id", "n_rows", "n_tokens",
+        "raw_bytes", "enc_bytes", "tokens_codec", "checksum", "encode_ms",
+    } <= cols
+    assert m.filter(F.col("snapshot_id") == "").count() == 0
+
+
+def test_decode_detects_corruption(spark, tokens_df):
+    blocks = encode_table(tokens_df, snapshot_id="t")
+    tampered = blocks.withColumn(
+        "payload",
+        F.when(F.col("column") == "tokens", F.concat(F.col("payload"), F.lit(b"x")))
+        .otherwise(F.col("payload")),
+    )
+    with pytest.raises(Exception):
+        decode_blocks(tampered).collect()
