@@ -1,0 +1,114 @@
+"""Arrow-native column encode/decode adapters.
+
+The engine's hot path is applyInArrow: a partition arrives as a pa.Table
+whose list column already holds the flattened values buffer (Arrow list
+layout == the repetition-level concept, SURVEY.md D18) and whose string
+columns are (offsets, data) buffer pairs.  These adapters encode/decode
+straight from those buffers — zero per-row Python, near-zero copies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dictionary import decode_dict_parts, encode_dict_wire
+from .fsst import fsst_gain_sample
+from .registry import dec_str_lens_blob, enc_str_lens_blob
+
+__all__ = [
+    "string_array_lens_blob",
+    "string_array_from_lens_blob",
+    "encode_str_column",
+    "decode_str_column",
+    "list_column_flat",
+]
+
+
+def _combined(arr):
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+def string_array_lens_blob(arr) -> tuple[np.ndarray, bytes]:
+    """(lengths, concatenated utf-8 bytes) from a pa string array, via its
+    offsets/data buffers (no per-value objects)."""
+    arr = _combined(arr)
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(
+        bufs[1], dtype=off_dt, count=len(arr) + 1, offset=arr.offset * np.dtype(off_dt).itemsize
+    ).astype(np.int64)
+    lens = np.diff(off)
+    blob = bufs[2].to_pybytes()[off[0] : off[-1]] if bufs[2] is not None else b""
+    return lens, blob
+
+
+def string_array_from_lens_blob(lens: np.ndarray, blob: bytes) -> pa.Array:
+    n = len(lens)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.utf8(),
+        n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
+    )
+
+
+def _select_str_codec_arrow(arr) -> str:
+    n = len(arr)
+    if n == 0:
+        return "str_plain"
+    probe = arr.slice(0, min(n, 8192))
+    card = pc.count_distinct(probe).as_py()
+    if card <= max(16, len(probe) // 8):
+        return "dict"
+    lens, blob = string_array_lens_blob(_combined(arr).slice(0, min(n, 1024)))
+    if len(blob) > 256:
+        stream = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+        if fsst_gain_sample(stream) > 0.5:
+            return "str_fsst"
+    return "str_plain"
+
+
+def encode_str_column(arr, codec: str | None = None):
+    """pa string array -> (codec, params, payload)."""
+    arr = _combined(arr)
+    codec = codec or _select_str_codec_arrow(arr)
+    if codec == "dict":
+        d = pc.dictionary_encode(arr)
+        indices = d.indices.to_numpy(zero_copy_only=False)
+        uniques = [
+            (u if isinstance(u, bytes) else u.encode()) for u in d.dictionary.to_pylist()
+        ]
+        payload = encode_dict_wire(indices, uniques, "byte_array")
+        return codec, {"ptype": "byte_array"}, payload
+    lens, blob = string_array_lens_blob(arr)
+    params, payload = enc_str_lens_blob(lens, blob, codec)
+    return codec, params, payload
+
+
+def decode_str_column(codec: str, payload: bytes, n: int, params: dict) -> pa.Array:
+    """payload -> pa string array (dictionary expansion stays in C++)."""
+    if codec == "dict":
+        uniques, indices = decode_dict_parts(payload, n, "byte_array")
+        dict_arr = pa.array([u.decode() for u in uniques], type=pa.utf8())
+        return pc.take(dict_arr, pa.array(indices, type=pa.int64()))
+    lens, blob = dec_str_lens_blob(payload, n, codec, params)
+    return string_array_from_lens_blob(lens, blob)
+
+
+def list_column_flat(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(flat values, per-row lengths) from a pa list array — the values
+    buffer IS the concatenation (zero-copy; no per-row work)."""
+    arr = _combined(arr)
+    # flatten() honors slices/offsets and is zero-copy for non-null lists
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    return flat, lens

@@ -70,13 +70,50 @@ def pack_bits_lsb(values: np.ndarray, width: int) -> bytes:
     n = len(values)
     if n == 0 or width == 0:
         return b""
+    vals = np.asarray(values)
+    if vals.dtype.kind not in "iu":
+        vals = vals.astype(np.int64)
+    if width > 57:
+        # rare fallback: explicit (n, width) bit matrix
+        if n % 8:
+            raise ValueError("pack_bits_lsb needs a multiple of 8 values")
+        v64 = np.ascontiguousarray(vals, dtype=np.uint64)
+        shifts = np.arange(width, dtype=np.uint64)
+        bits = ((v64[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    # 8 consecutive values occupy exactly `width` bytes; build each group's
+    # bit block in <=4 little-endian uint64 words with 8 vector shifts.
+    # Full groups pack from a reshaped VIEW of the input (no copy, any int
+    # dtype); only the <=7-value tail is padded separately — minimizing
+    # memory traffic is what lets 32 concurrent workers scale.
+    full = n - (n % 8)
+    groups = full // 8
+    n_words = (8 * width + 63) // 64
+    parts = []
+    if groups:
+        V = vals[:full].reshape(groups, 8)
+        W = np.zeros((groups, n_words), dtype=np.uint64)
+        for j in range(8):
+            bitpos = j * width
+            k, shift = bitpos >> 6, bitpos & 63
+            col = V[:, j].astype(np.uint64)
+            W[:, k] |= col << np.uint64(shift)
+            if shift and shift + width > 64:
+                W[:, k + 1] |= col >> np.uint64(64 - shift)
+        # first `width` bytes of each group's little-endian word block
+        parts.append(W.view(np.uint8).reshape(groups, n_words * 8)[:, :width].tobytes())
     if n % 8:
-        raise ValueError("pack_bits_lsb needs a multiple of 8 values")
-    vals = np.ascontiguousarray(values, dtype=np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    # (n, width) bit matrix, row-major => overall LSB-first bit order.
-    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+        tail = np.zeros(8, dtype=np.uint64)
+        tail[: n % 8] = vals[full:]
+        W = np.zeros(n_words, dtype=np.uint64)
+        for j in range(8):
+            bitpos = j * width
+            k, shift = bitpos >> 6, bitpos & 63
+            W[k] |= tail[j] << np.uint64(shift)
+            if shift and shift + width > 64:
+                W[k + 1] |= tail[j] >> np.uint64(64 - shift)
+        parts.append(W.view(np.uint8)[:width].tobytes())
+    return b"".join(parts)
 
 
 def unpack_bits_lsb(data: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
@@ -86,6 +123,27 @@ def unpack_bits_lsb(data: bytes | np.ndarray, width: int, count: int) -> np.ndar
     if width == 0:
         return np.zeros(count, dtype=np.int64)
     raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
-    bits = np.unpackbits(raw, bitorder="little", count=count * width)
-    weights = (np.int64(1) << np.arange(width, dtype=np.int64))
-    return bits.reshape(count, width).astype(np.int64) @ weights
+    if width > 57:
+        bits = np.unpackbits(raw, bitorder="little", count=count * width)
+        weights = (np.int64(1) << np.arange(width, dtype=np.int64))
+        return bits.reshape(count, width).astype(np.int64) @ weights
+    # inverse of the grouped word packing: pad each width-byte group to its
+    # word block, then extract the 8 values with vector shifts.
+    groups = (count + 7) // 8
+    need = groups * width
+    if len(raw) < need:
+        raw = np.concatenate([raw, np.zeros(need - len(raw), dtype=np.uint8)])
+    n_words = (8 * width + 63) // 64
+    block = np.zeros((groups, n_words * 8), dtype=np.uint8)
+    block[:, :width] = raw[:need].reshape(groups, width)
+    W = block.view(np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((groups, 8), dtype=np.uint64)
+    for j in range(8):
+        bitpos = j * width
+        k, shift = bitpos >> 6, bitpos & 63
+        v = W[:, k] >> np.uint64(shift)
+        if shift and shift + width > 64:
+            v = v | (W[:, k + 1] << np.uint64(64 - shift))
+        out[:, j] = v & mask
+    return out.reshape(-1)[:count].astype(np.int64)

@@ -48,11 +48,16 @@ def encode_dict(values, physical_type: str = "int32") -> bytes:
     """Dictionary-encode ``values`` (numpy array or list of bytes)."""
     codes, uniques = pd.factorize(np.asarray(values), use_na_sentinel=False)
     if physical_type == "byte_array":
-        dict_page = _PLAIN_ENC[physical_type](list(uniques))
-    else:
-        dict_page = _PLAIN_ENC[physical_type](uniques)
+        uniques = list(uniques)
+    return encode_dict_wire(codes, uniques, physical_type)
+
+
+def encode_dict_wire(codes: np.ndarray, uniques, physical_type: str = "int32") -> bytes:
+    """Assemble the wire format from pre-factorized codes + dictionary
+    (lets callers factorize with pyarrow's C++ dictionary_encode)."""
+    dict_page = _PLAIN_ENC[physical_type](uniques)
     width = width_from_max_int(max(len(uniques) - 1, 0))
-    index_page = encode_hybrid(codes.astype(np.int64), width)
+    index_page = encode_hybrid(np.asarray(codes, dtype=np.int64), width)
     return b"".join(
         [
             int(len(uniques)).to_bytes(4, "little", signed=True),
@@ -61,6 +66,28 @@ def encode_dict(values, physical_type: str = "int32") -> bytes:
             index_page,
         ]
     )
+
+
+def decode_dict_parts(data: bytes, n: int, physical_type: str = "int32"):
+    """Parse the wire format into (uniques, indices) without gathering —
+    callers can expand with pyarrow take() or numpy fancy indexing."""
+    n_dict = int.from_bytes(data[:4], "little", signed=True)
+    if physical_type == "byte_array":
+        mv = memoryview(data)
+        pos = 4
+        uniques = []
+        for _ in range(n_dict):
+            ln = int.from_bytes(mv[pos : pos + 4], "little", signed=True)
+            uniques.append(bytes(mv[pos + 4 : pos + 4 + ln]))
+            pos += 4 + ln
+        body_start = pos
+    else:
+        itemsize = 4 if physical_type == "int32" else 8
+        body_start = 4 + n_dict * itemsize
+        uniques = _PLAIN_DEC[physical_type](data[4:body_start], n_dict)
+    width = data[body_start]
+    indices = decode_hybrid(data[body_start + 1 :], width, n)
+    return uniques, indices
 
 
 def decode_dict(data: bytes, n: int, physical_type: str = "int32"):

@@ -5,6 +5,10 @@ standalone column codecs; FOR and DELTA have no reference counterpart
 (SURVEY.md §2.3 "New-engine codecs" — cf. FastLanes / Lemire & Boytsov,
 "Decoding billions of integers per second").
 
+Kernels are dtype-preserving (int32 stays int32 until the bit-packer's
+per-column word build) — minimizing memory traffic is what lets 32
+concurrent executor-side workers scale on shared bandwidth.
+
 Payload layouts (params travel in the blocks-table `params` JSON, not in
 the payload):
 
@@ -29,17 +33,17 @@ __all__ = [
 ]
 
 
-def _pad8(vals: np.ndarray) -> np.ndarray:
-    pad = (-len(vals)) % 8
-    if pad:
-        return np.concatenate([vals, np.zeros(pad, dtype=vals.dtype)])
+def _as_int(values) -> np.ndarray:
+    vals = np.asarray(values)
+    if vals.dtype.kind not in "iu":
+        vals = vals.astype(np.int64)
     return vals
 
 
 def encode_bitpack(values: np.ndarray) -> tuple[bytes, dict]:
-    vals = np.ascontiguousarray(values, dtype=np.int64)
+    vals = _as_int(values)
     width = width_from_max_int(int(vals.max(initial=0)))
-    return pack_bits_lsb(_pad8(vals), width), {"width": width}
+    return pack_bits_lsb(vals, width), {"width": width}
 
 
 def decode_bitpack(data: bytes, n: int, params: dict) -> np.ndarray:
@@ -47,13 +51,16 @@ def decode_bitpack(data: bytes, n: int, params: dict) -> np.ndarray:
 
 
 def encode_for(values: np.ndarray) -> tuple[bytes, dict]:
-    vals = np.ascontiguousarray(values, dtype=np.int64)
+    vals = _as_int(values)
     if len(vals) == 0:
         return b"", {"ref": 0, "width": 0}
     ref = int(vals.min())
+    span = int(vals.max()) - ref
+    if vals.dtype != np.int64 and span > np.iinfo(vals.dtype).max:
+        vals = vals.astype(np.int64)
     shifted = vals - ref
-    width = width_from_max_int(int(shifted.max()))
-    return pack_bits_lsb(_pad8(shifted), width), {"ref": ref, "width": width}
+    width = width_from_max_int(span)
+    return pack_bits_lsb(shifted, width), {"ref": ref, "width": width}
 
 
 def decode_for(data: bytes, n: int, params: dict) -> np.ndarray:
@@ -75,7 +82,7 @@ def encode_delta(values: np.ndarray) -> tuple[bytes, dict]:
     first = int(vals[0])
     zz = _zigzag(np.diff(vals))
     width = width_from_max_int(int(zz.max(initial=0)))
-    return pack_bits_lsb(_pad8(zz), width), {"first": first, "width": width}
+    return pack_bits_lsb(zz, width), {"first": first, "width": width}
 
 
 def decode_delta(data: bytes, n: int, params: dict) -> np.ndarray:

@@ -169,17 +169,13 @@ def encode_fsst(
     )
     sym_lens = np.array([len(t) for t in table], dtype=np.uint8)
 
-    def pad8(v):
-        p = (-len(v)) % 8
-        return np.concatenate([v, np.zeros(p, dtype=np.int64)]) if p else v
-
     parts = [
         int(n_sym).to_bytes(2, "little"),
         bytes([w_elem]),
         sym_lens.tobytes(),
-        pack_bits_lsb(pad8(flat), w_elem) if len(flat) else b"",
+        pack_bits_lsb(flat, w_elem) if len(flat) else b"",
         int(len(stream)).to_bytes(4, "little"),
-        pack_bits_lsb(pad8(stream), w_stream) if len(stream) else b"",
+        pack_bits_lsb(stream, w_stream) if len(stream) else b"",
     ]
     return b"".join(parts), {
         "alphabet": alphabet,

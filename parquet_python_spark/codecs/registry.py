@@ -47,7 +47,9 @@ _SAMPLE = 65536
 
 def chunk_stats(values: np.ndarray) -> dict:
     """Sampled per-chunk statistics driving the codec selector."""
-    vals = np.ascontiguousarray(values, dtype=np.int64)
+    vals = np.asarray(values)
+    if vals.dtype.kind not in "iu":
+        vals = vals.astype(np.int64)
     n = len(vals)
     if n == 0:
         return {
@@ -55,24 +57,33 @@ def chunk_stats(values: np.ndarray) -> dict:
             "card_est": 0, "pair_dup": 0.0,
         }
     sample = vals[:_SAMPLE]
-    card_sample = len(np.unique(sample))
-    # first-order extrapolation: saturated sample => assume card grows
-    if card_sample >= 0.9 * len(sample) and n > len(sample):
-        card_est = min(n, int(card_sample * n / len(sample)))
+    _, cnts = np.unique(sample, return_counts=True)
+    card_sample = len(cnts)
+    if n > len(sample):
+        # Chao1 richness estimator: s + f1^2/(2*f2) — corrects the severe
+        # undercount of plain sample-distinct on high-cardinality data
+        # (uniform 2^17-range data would otherwise look dict-friendly)
+        f1 = int((cnts == 1).sum())
+        f2 = int((cnts == 2).sum())
+        chao = card_sample + (f1 * f1) / (2 * f2) if f2 else card_sample * 2
+        card_est = int(min(n, max(card_sample, chao)))
     else:
         card_est = card_sample
-    boundaries = np.flatnonzero(vals[1:] != vals[:-1]) + 1
-    counts = np.diff(np.concatenate(([0], boundaries, [n])))
+    # run structure measured on the sample, scaled to n (selector only needs
+    # the cost ranking; the encoder itself re-segments exactly)
+    boundaries = np.flatnonzero(sample[1:] != sample[:-1]) + 1
+    counts = np.diff(np.concatenate(([0], boundaries, [len(sample)])))
     from .rle import MIN_RLE_RUN
 
     long_mask = counts >= MIN_RLE_RUN
+    scale = n / len(sample)
     return {
         "n": n,
         "min": int(vals.min()),
         "max": int(vals.max()),
-        "n_runs": len(counts),
-        "n_long_runs": int(long_mask.sum()),
-        "n_long_vals": int(counts[long_mask].sum()),
+        "n_runs": max(1, int(len(counts) * scale)),
+        "n_long_runs": int(long_mask.sum() * scale),
+        "n_long_vals": int(counts[long_mask].sum() * scale),
         "card_est": card_est,
         "pair_dup": fsst_gain_sample(sample),
     }
@@ -180,15 +191,8 @@ def _dec_int(data: bytes, n: int, codec: str, params: dict) -> np.ndarray:
 
 # ----------------------------------------------------------------- strings
 
-def _enc_str(values, codec: str) -> tuple[dict, bytes]:
-    """String-column codecs.  values: sequence of str/bytes."""
-    as_bytes = [v.encode() if isinstance(v, str) else bytes(v) for v in values]
-    if codec == "dict":
-        return {"ptype": "byte_array"}, encode_dict(
-            np.array(as_bytes, dtype=object), "byte_array"
-        )
-    lens = np.fromiter((len(b) for b in as_bytes), dtype=np.int64, count=len(as_bytes))
-    blob = b"".join(as_bytes)
+def enc_str_lens_blob(lens: np.ndarray, blob: bytes, codec: str) -> tuple[dict, bytes]:
+    """Core string encoding over Arrow-native (lengths, byte blob) layout."""
     len_payload, len_params = encode_for(lens)
     if codec == "str_plain":
         body = blob
@@ -209,9 +213,8 @@ def _enc_str(values, codec: str) -> tuple[dict, bytes]:
     return {"lens": len_params, "body": body_params}, payload
 
 
-def _dec_str(data: bytes, n: int, codec: str, params: dict) -> list[bytes]:
-    if codec == "dict":
-        return list(decode_dict(data, n, "byte_array"))
+def dec_str_lens_blob(data: bytes, n: int, codec: str, params: dict):
+    """Inverse of :func:`enc_str_lens_blob`; returns (lens, blob)."""
     mv = memoryview(data)
     len_sz = int.from_bytes(mv[0:4], "little")
     lens = decode_for(mv[4 : 4 + len_sz], n, params["lens"])
@@ -225,6 +228,25 @@ def _dec_str(data: bytes, n: int, codec: str, params: dict) -> list[bytes]:
         blob = stream.astype(np.uint8).tobytes()
     else:
         raise KeyError(f"unknown str codec {codec}")
+    return lens, blob
+
+
+def _enc_str(values, codec: str) -> tuple[dict, bytes]:
+    """String-column codecs.  values: sequence of str/bytes."""
+    as_bytes = [v.encode() if isinstance(v, str) else bytes(v) for v in values]
+    if codec == "dict":
+        return {"ptype": "byte_array"}, encode_dict(
+            np.array(as_bytes, dtype=object), "byte_array"
+        )
+    lens = np.fromiter((len(b) for b in as_bytes), dtype=np.int64, count=len(as_bytes))
+    blob = b"".join(as_bytes)
+    return enc_str_lens_blob(lens, blob, codec)
+
+
+def _dec_str(data: bytes, n: int, codec: str, params: dict) -> list[bytes]:
+    if codec == "dict":
+        return list(decode_dict(data, n, "byte_array"))
+    lens, blob = dec_str_lens_blob(data, n, codec, params)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     return [blob[offsets[i] : offsets[i + 1]] for i in range(n)]
@@ -253,7 +275,11 @@ def select_str_codec(values) -> str:
 def encode_column(values, kind: str = "int", codec: str | None = None):
     """Encode one column chunk; returns (codec, params, payload, stats)."""
     if kind == "int":
-        vals = np.ascontiguousarray(values, dtype=np.int64)
+        # dtype-preserving: int32 inputs stay int32 through the kernels
+        # (halves memory traffic — the scaling bottleneck at 32 workers)
+        vals = np.asarray(values)
+        if vals.dtype.kind not in "iu":
+            vals = vals.astype(np.int64)
         stats = chunk_stats(vals)
         codec = codec or select_codec(stats, kind)
         params, payload = _enc_int(vals, codec)

@@ -52,14 +52,12 @@ def _rle_value_bytes(value: int, width: int) -> bytes:
 
 
 def _emit_bitpacked(out: list[bytes], seg: np.ndarray, width: int) -> None:
-    """Emit one bit-packed run for ``seg`` (padded to a multiple of 8)."""
+    """Emit one bit-packed run for ``seg`` (zero-padded to a multiple of 8
+    inside the bit-packer — no copy of the segment)."""
     n = len(seg)
     if n == 0:
         return
-    pad = (-n) % 8
-    if pad:
-        seg = np.concatenate([seg, np.zeros(pad, dtype=seg.dtype)])
-    groups = len(seg) // 8
+    groups = (n + 7) // 8
     out.append(encode_varint((groups << 1) | 1))
     out.append(pack_bits_lsb(seg, width))
 
@@ -70,7 +68,9 @@ def encode_hybrid(values: np.ndarray, width: int) -> bytes:
     No length prefix is included; callers that need the reference's
     4-byte-length framing (encoding.py:224-229) prepend it themselves.
     """
-    vals = np.ascontiguousarray(values, dtype=np.int64)
+    vals = np.asarray(values)
+    if vals.dtype.kind not in "iu":
+        vals = vals.astype(np.int64)
     n = len(vals)
     if n == 0:
         return b""

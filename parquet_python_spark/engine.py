@@ -65,6 +65,27 @@ BLOCKS_SCHEMA = T.StructType(
     ]
 )
 
+import pyarrow as pa  # noqa: E402  (workers import lazily via kernels)
+
+_BLOCKS_ARROW_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.string()),
+        ("source", pa.string()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("params", pa.string()),
+        ("payload", pa.binary()),
+        ("n_values", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("ref_dict_bytes", pa.int64()),
+        ("checksum", pa.int64()),
+        ("snapshot_id", pa.string()),
+        ("encode_ms", pa.float64()),
+    ]
+)
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -125,40 +146,34 @@ def with_partition_id(df: DataFrame, salt_map: dict) -> DataFrame:
 _COLUMNS = ("tokens", "n_tok", "doc_id", "source")
 
 
-def _encode_partition_pdf(
-    pdf: pd.DataFrame, snapshot_id: str, with_ref_baseline: bool
-) -> pd.DataFrame:
-    """Encode one (source, salt) bucket into one blocks row per column."""
+def _encode_partition_table(
+    tbl: "pa.Table", snapshot_id: str, with_ref_baseline: bool, part_id: str | None = None
+) -> "pa.Table":
+    """Encode one (source, salt) bucket into one blocks row per column.
+
+    Arrow-native: the tokens list column's values buffer IS the flattened
+    token vector (zero-copy via arrow_io.list_column_flat); strings encode
+    from their (offsets, data) buffers.  No per-row Python anywhere.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codecs.arrow_io import encode_str_column, list_column_flat
+
     t0 = time.perf_counter()
-    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-    part_id = pdf["part_id"].iloc[0]
-    source = pdf["source"].iloc[0]
-    n_rows = len(pdf)
+    order = pc.sort_indices(tbl.column("doc_id"))
+    tbl = tbl.take(order)
+    part_id = part_id or tbl.column("part_id")[0].as_py()
+    source = tbl.column("source")[0].as_py()
+    n_rows = tbl.num_rows
 
-    tok_arrays = pdf["tokens"].to_numpy()
-    flat = (
-        np.concatenate([np.asarray(a, dtype=np.int64) for a in tok_arrays])
-        if n_rows
-        else np.empty(0, dtype=np.int64)
-    )
-    n_tok = pdf["n_tok"].to_numpy(dtype=np.int64)
-    doc_ids = pdf["doc_id"].tolist()
-    sources = pdf["source"].tolist()
+    tokens_col = tbl.column("tokens").combine_chunks()
+    flat, _lens = list_column_flat(tokens_col)  # int32, zero-copy
+    n_tok = tbl.column("n_tok").to_numpy(zero_copy_only=False)
 
-    cols = {
-        "tokens": (flat, "int", 4 * len(flat)),
-        "n_tok": (n_tok, "int", 4 * len(n_tok)),
-        "doc_id": (doc_ids, "str", sum(len(s) for s in doc_ids)),
-        "source": (sources, "str", sum(len(s) for s in sources)),
-    }
     rows = []
-    for col, (vals, kind, raw_bytes) in cols.items():
-        codec, params, payload, _stats = encode_column(vals, kind)
-        ref_bytes = None
-        if with_ref_baseline and col == "tokens":
-            # honest <=-size gate: the reference's own RLE/dict wire format
-            # on the same values (dict page + hybrid indices, SURVEY.md D15/D16)
-            ref_bytes = len(encode_dict(np.asarray(vals, dtype=np.int32), "int32"))
+
+    def add(col, codec, params, payload, n_values, raw_bytes, ref_bytes=None):
         rows.append(
             {
                 "part_id": part_id,
@@ -167,7 +182,7 @@ def _encode_partition_pdf(
                 "codec": codec,
                 "params": params_to_json(params),
                 "payload": payload,
-                "n_values": len(vals),
+                "n_values": n_values,
                 "n_rows": n_rows,
                 "raw_bytes": raw_bytes,
                 "enc_bytes": len(payload),
@@ -177,7 +192,23 @@ def _encode_partition_pdf(
                 "encode_ms": (time.perf_counter() - t0) * 1000.0,
             }
         )
-    return pd.DataFrame(rows)
+
+    for col, vals in (("tokens", flat), ("n_tok", n_tok)):
+        codec, params, payload, _stats = encode_column(vals, "int")
+        ref_bytes = None
+        if with_ref_baseline and col == "tokens":
+            # honest <=-size gate: the reference's own RLE/dict wire format
+            # on the same values (dict page + hybrid indices, SURVEY.md D15/D16)
+            ref_bytes = len(encode_dict(np.asarray(vals, dtype=np.int32), "int32"))
+        add(col, codec, params, payload, len(vals), 4 * len(vals), ref_bytes)
+
+    for col in ("doc_id", "source"):
+        arr = tbl.column(col).combine_chunks()
+        codec, params, payload = encode_str_column(arr)
+        raw = int(pc.sum(pc.binary_length(arr)).as_py() or 0)
+        add(col, codec, params, payload, len(arr), raw)
+
+    return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW_SCHEMA)
 
 
 def encode_table(
@@ -195,12 +226,57 @@ def encode_table(
     salt_map = salt_map or plan_salts(df, target_tokens)
     with_pid = with_partition_id(df, salt_map)
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_partition_pdf(pdf, snapshot_id, with_ref_baseline)
+    def enc(tbl):
+        return _encode_partition_table(tbl, snapshot_id, with_ref_baseline)
 
-    # groupBy().applyInPandas hash-partitions on part_id — that IS the one
+    # groupBy().applyInArrow hash-partitions on part_id — that IS the one
     # shuffle of the pipeline (an explicit repartition first would double it).
-    return with_pid.groupBy("part_id").applyInPandas(enc, schema=BLOCKS_SCHEMA)
+    return with_pid.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
+
+
+def encode_table_narrow(
+    df: DataFrame,
+    snapshot_id: str = "",
+    with_ref_baseline: bool = False,
+    skip_parts: frozenset | None = None,
+    part_prefix: str = "",
+) -> DataFrame:
+    """Zero-shuffle encode: mapInArrow over the scan, one chunk per
+    (source, input split).
+
+    The scale path.  Encoding is source-local work, so shuffling every
+    token byte to co-locate sources (encode_table) buys nothing that
+    splitting each scan batch by source doesn't — and at 100 TB the saved
+    shuffle IS the job.  Skew needs no salting here: input splits are
+    size-bounded by spark.sql.files.maxPartitionBytes, so a dominant
+    source simply spans more splits.  part_id = f"{source}#{split_id}" is
+    deterministic for a fixed input layout + reader config, which keeps
+    checkpoint/resume stable across reruns.
+    """
+
+    def enc(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        split_id = TaskContext.get().partitionId()
+        per_source: dict[str, list] = {}
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            for src in pc.unique(tbl.column("source")).to_pylist():
+                sub = tbl.filter(pc.equal(tbl.column("source"), src))
+                per_source.setdefault(src, []).append(sub)
+        for src, tables in per_source.items():
+            pid = f"{part_prefix}{src}#{split_id}"
+            if skip_parts and pid in skip_parts:
+                continue  # checkpoint/resume: this chunk is already encoded
+            tbl = pa.concat_tables(tables)
+            out = _encode_partition_table(
+                tbl, snapshot_id, with_ref_baseline, part_id=pid
+            )
+            yield from out.to_batches()
+
+    return df.mapInArrow(enc, schema=BLOCKS_SCHEMA)
 
 
 # --------------------------------------------------------------- decode
@@ -214,35 +290,50 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     concept the reference never implemented, SURVEY.md D18).
     """
 
-    def dec(pdf: pd.DataFrame) -> pd.DataFrame:
-        by_col = {r["column"]: r for _, r in pdf.iterrows()}
+    def dec(tbl):
+        import pyarrow as pa
+
+        from .codecs.arrow_io import decode_str_column
+
+        rows = tbl.to_pylist()  # 4 small rows (payload bytes ride along)
+        by_col = {r["column"]: r for r in rows}
         n_rows = int(by_col["doc_id"]["n_rows"])
-        out = {}
         for col in _COLUMNS:
             row = by_col[col]
-            payload = bytes(row["payload"])
-            if zlib.crc32(payload) != int(row["checksum"]):
+            if zlib.crc32(row["payload"]) != int(row["checksum"]):
                 raise ValueError(f"checksum mismatch for {row['part_id']}/{col}")
-            kind = "str" if col in ("doc_id", "source") else "int"
-            out[col] = decode_column(
-                row["codec"], payload, int(row["n_values"]),
-                params_from_json(row["params"]), kind,
+
+        def _int(col):
+            r = by_col[col]
+            return decode_column(
+                r["codec"], r["payload"], int(r["n_values"]),
+                params_from_json(r["params"]), "int",
             )
-        n_tok = np.asarray(out["n_tok"], dtype=np.int64)
-        offsets = np.zeros(n_rows + 1, dtype=np.int64)
+
+        def _str(col):
+            r = by_col[col]
+            return decode_str_column(
+                r["codec"], r["payload"], int(r["n_values"]),
+                params_from_json(r["params"]),
+            )
+
+        n_tok = _int("n_tok")
+        flat = _int("tokens").astype(np.int32)
+        offsets = np.zeros(n_rows + 1, dtype=np.int32)
         np.cumsum(n_tok, out=offsets[1:])
-        flat = np.asarray(out["tokens"], dtype=np.int32)
-        tokens = [flat[offsets[i] : offsets[i + 1]] for i in range(n_rows)]
-        return pd.DataFrame(
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+        ).cast(pa.list_(pa.field("element", pa.int32(), nullable=False)))
+        return pa.table(
             {
-                "doc_id": [b.decode() for b in out["doc_id"]],
+                "doc_id": _str("doc_id"),
                 "tokens": tokens,
-                "n_tok": n_tok.astype(np.int32),
-                "source": [b.decode() for b in out["source"]],
+                "n_tok": pa.array(n_tok.astype(np.int32), type=pa.int32()),
+                "source": _str("source"),
             }
         )
 
-    return blocks.groupBy("part_id").applyInPandas(dec, schema=DECODED_SCHEMA)
+    return blocks.groupBy("part_id").applyInArrow(dec, schema=DECODED_SCHEMA)
 
 
 # ----------------------------------------------------- job with resume
@@ -265,20 +356,24 @@ def encode_job(
     output_path: str,
     target_tokens: int = TARGET_TOKENS_PER_PART,
     with_ref_baseline: bool = False,
+    mode: str = "narrow",
 ) -> dict:
     """Resumable encode job: skip partitions already in the metrics table.
 
+    mode="narrow"  (default): zero-shuffle mapInArrow encode, one chunk per
+    (source, input split) — the scale path.
+    mode="grouped": salted-shuffle encode (one chunk per (source, salt)) for
+    source-pure chunk layouts sized independently of the input split plan.
+
     Layout under output_path:
         blocks/   parquet, appended per run
-        metrics/  parquet, appended per run (completed part_ids live here)
+        metrics/  parquet, rebuilt per run (completed part_ids live here)
     """
     blocks_path = os.path.join(output_path, "blocks")
     metrics_path = os.path.join(output_path, "metrics")
     snapshot_id = snapshot_of(input_path)
 
     df = spark.read.parquet(input_path)
-    salt_map = plan_salts(df, target_tokens)
-    with_pid = with_partition_id(df, salt_map)
 
     done: set[str] = set()
     if os.path.isdir(metrics_path):
@@ -290,15 +385,24 @@ def encode_job(
             .distinct()
             .collect()
         }
-    if done:
-        # anti-join against the completed set (broadcast; metadata-sized)
-        done_df = spark.createDataFrame([(p,) for p in done], ["part_id"])
-        with_pid = with_pid.join(F.broadcast(done_df), "part_id", "left_anti")
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_partition_pdf(pdf, snapshot_id, with_ref_baseline)
+    if mode == "grouped":
+        salt_map = plan_salts(df, target_tokens)
+        with_pid = with_partition_id(df, salt_map)
+        if done:
+            # anti-join against the completed set (broadcast; metadata-sized)
+            done_df = spark.createDataFrame([(p,) for p in done], ["part_id"])
+            with_pid = with_pid.join(F.broadcast(done_df), "part_id", "left_anti")
 
-    blocks = with_pid.groupBy("part_id").applyInPandas(enc, schema=BLOCKS_SCHEMA)
+        def enc(tbl):
+            return _encode_partition_table(tbl, snapshot_id, with_ref_baseline)
+
+        blocks = with_pid.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
+    else:
+        blocks = encode_table_narrow(
+            df, snapshot_id, with_ref_baseline,
+            skip_parts=frozenset(done) if done else None,
+        )
     blocks.write.mode("append").parquet(blocks_path)
 
     # Idempotent rollup: metrics := aggregate of everything in blocks/.
@@ -357,5 +461,6 @@ def encode_job(
         "raw_bytes": int(agg["raw"] or 0),
         "enc_bytes": int(agg["enc"] or 0),
         "resumed_skipped": len(done),
-        "salt_map": json.dumps(salt_map),
+        "mode": mode,
+        "salt_map": json.dumps(salt_map) if mode == "grouped" else None,
     }

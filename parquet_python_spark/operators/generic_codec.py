@@ -60,6 +60,47 @@ def _encode_chunk(vals, kind: str, forced: str | None):
     return codec, params_to_json(params), payload
 
 
+def _encode_chunk_nullable(series: pd.Series, kind: str, forced: str | None):
+    """Definition-level null handling (reference __init__.py:295-317,336-338;
+    SURVEY.md D17): a width-1 RLE/bit-packed-hybrid validity stream prefixes
+    the payload, and only non-null values are value-encoded."""
+    from ..codecs.rle import encode_hybrid
+
+    mask = series.isna().to_numpy()
+    if not mask.any():
+        codec, params, payload = _encode_chunk(_conv_scalar(series, kind), kind, forced)
+        return codec, params, payload, len(series)
+    def_levels = (~mask).astype(np.int64)
+    def_blob = encode_hybrid(def_levels, 1)
+    present = series[~mask]
+    codec, params, payload = _encode_chunk(_conv_scalar(present, kind), kind, forced)
+    full = b"".join(
+        [int(len(def_blob)).to_bytes(4, "little"), def_blob, payload]
+    )
+    p = params_from_json(params)
+    p["__nulls__"] = True
+    return codec, params_to_json(p), full, int((~mask).sum())
+
+
+def _conv_scalar(series: pd.Series, kind: str):
+    kind_name, conv = _SCALAR_KIND_ENC[kind]
+    return conv(series)
+
+
+def _decode_chunk_nullable(payload, n_rows, n_values, codec, params_json, kind):
+    """Inverse of _encode_chunk_nullable: decode validity, weave nulls."""
+    from ..codecs.rle import decode_hybrid
+
+    params = params_from_json(params_json)
+    if not params.pop("__nulls__", False):
+        return decode_column(codec, payload, n_values, params, kind), None
+    mv = memoryview(payload)
+    def_sz = int.from_bytes(mv[0:4], "little")
+    def_levels = decode_hybrid(bytes(mv[4 : 4 + def_sz]), 1, n_rows)
+    vals = decode_column(codec, bytes(mv[4 + def_sz :]), n_values, params, kind)
+    return vals, def_levels.astype(bool)
+
+
 def encode_df(
     df: DataFrame,
     key_col: str,
@@ -84,8 +125,7 @@ def encode_df(
         n_rows = len(pdf)
         rows = []
 
-        def add(column, vals, kind, forced):
-            codec, params, payload = _encode_chunk(vals, kind, forced)
+        def add(column, codec, params, payload, n_values):
             rows.append(
                 {
                     "part_id": part_id,
@@ -93,7 +133,7 @@ def encode_df(
                     "codec": codec,
                     "params": params,
                     "payload": payload,
-                    "n_values": len(vals),
+                    "n_values": n_values,
                     "n_rows": n_rows,
                     "enc_bytes": len(payload),
                     "checksum": zlib.crc32(payload),
@@ -114,11 +154,13 @@ def encode_df(
                     if n_rows
                     else np.empty(0, dtype=dtype)
                 )
-                add(col + ".lens", lens, "int", None)
-                add(col + ".vals", flat, elem_kind, forced)
+                c, p, payload = _encode_chunk(lens, "int", None)
+                add(col + ".lens", c, p, payload, len(lens))
+                c, p, payload = _encode_chunk(flat, elem_kind, forced)
+                add(col + ".vals", c, p, payload, len(flat))
             else:
-                kind_name, conv = _SCALAR_KIND_ENC[kind]
-                add(col, conv(pdf[col]), kind_name, forced)
+                c, p, payload, n_vals = _encode_chunk_nullable(pdf[col], kind, forced)
+                add(col, c, p, payload, n_vals)
         return pd.DataFrame(rows)
 
     return work.groupBy("part_id").applyInPandas(enc, schema=BLOCKS_SCHEMA)
@@ -151,10 +193,26 @@ def decode_df(blocks: DataFrame, key_col: str, col_kinds: dict[str, str], out_sc
                 np.cumsum(lens, out=offsets[1:])
                 out[col] = [flat[offsets[i] : offsets[i + 1]] for i in range(n_rows)]
             else:
-                vals = chunk(col, kind)
+                row = by_col[col]
+                payload = bytes(row["payload"])
+                if zlib.crc32(payload) != int(row["checksum"]):
+                    raise ValueError(f"checksum mismatch in {col}")
+                vals, valid = _decode_chunk_nullable(
+                    payload, n_rows, int(row["n_values"]), row["codec"],
+                    row["params"], kind,
+                )
                 if kind == "str":
                     vals = [b.decode() for b in vals]
-                out[col] = vals
+                if valid is None:
+                    out[col] = vals
+                else:
+                    # null weave (reference __init__.py:336-338)
+                    woven = np.empty(n_rows, dtype=object)
+                    woven[valid] = np.asarray(vals, dtype=object)[
+                        : int(valid.sum())
+                    ]
+                    woven[~valid] = None
+                    out[col] = woven
         return pd.DataFrame(out)[list(col_kinds)]
 
     return blocks.groupBy("part_id").applyInPandas(dec, schema=out_schema)

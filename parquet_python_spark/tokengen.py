@@ -62,15 +62,17 @@ def _source_of(ids: np.ndarray) -> np.ndarray:
     return out
 
 
-def _zipfish_len(rng: np.random.Generator) -> int:
-    """Zipf-ish length in [MIN_LEN, MAX_LEN]."""
-    raw = int(rng.pareto(1.2) * 64) + MIN_LEN
-    return min(raw, MAX_LEN)
+def _zipfish_len(rng: np.random.Generator, min_len: int, max_len: int) -> int:
+    """Zipf-ish length in [min_len, max_len]."""
+    raw = int(rng.pareto(1.2) * (min_len * 4)) + min_len
+    return min(raw, max_len)
 
 
-def _gen_tokens(source: str, row_id: int, seed: int) -> np.ndarray:
+def _gen_tokens(
+    source: str, row_id: int, seed: int, min_len: int = MIN_LEN, max_len: int = MAX_LEN
+) -> np.ndarray:
     rng = np.random.default_rng([seed, row_id])
-    n = _zipfish_len(rng)
+    n = _zipfish_len(rng, min_len, max_len)
     if source == "lowcard":
         vocab = np.random.default_rng([seed, 0x10CA]).integers(0, TOKEN_RANGE, 64)
         return vocab[rng.integers(0, 64, n)].astype(np.int32)
@@ -88,9 +90,14 @@ def _gen_tokens(source: str, row_id: int, seed: int) -> np.ndarray:
     return rng.integers(0, TOKEN_RANGE, n).astype(np.int32)
 
 
-def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
+def _gen_batch(
+    ids: np.ndarray, seed: int, min_len: int = MIN_LEN, max_len: int = MAX_LEN
+) -> pd.DataFrame:
     sources = _source_of(ids)
-    tokens = [_gen_tokens(s, int(i), seed) for s, i in zip(sources, ids)]
+    tokens = [
+        _gen_tokens(s, int(i), seed, min_len, max_len)
+        for s, i in zip(sources, ids)
+    ]
     return pd.DataFrame(
         {
             "doc_id": [f"{s}-{i:012d}" for s, i in zip(sources, ids)],
@@ -102,7 +109,12 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
 
 
 def generate_tokens_df(
-    spark: SparkSession, n_rows: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    min_len: int = MIN_LEN,
+    max_len: int = MAX_LEN,
 ) -> DataFrame:
     """Distributed deterministic tokens table (same content at any parallelism)."""
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 8)
@@ -110,7 +122,7 @@ def generate_tokens_df(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            yield _gen_batch(ids, seed)
+            yield _gen_batch(ids, seed, min_len, max_len)
 
     return (
         spark.range(0, n_rows, numPartitions=partitions)
@@ -119,6 +131,13 @@ def generate_tokens_df(
 
 
 def write_tokens_table(
-    spark: SparkSession, path: str, n_rows: int, seed: int = 42
+    spark: SparkSession,
+    path: str,
+    n_rows: int,
+    seed: int = 42,
+    min_len: int = MIN_LEN,
+    max_len: int = MAX_LEN,
 ) -> None:
-    generate_tokens_df(spark, n_rows, seed).write.mode("overwrite").parquet(path)
+    generate_tokens_df(spark, n_rows, seed, min_len=min_len, max_len=max_len).write.mode(
+        "overwrite"
+    ).parquet(path)

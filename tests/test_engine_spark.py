@@ -106,18 +106,28 @@ def test_salting_splits_skewed_source(spark, tokens_df):
     assert min(totals) > 0 and max(totals) / min(totals) < 4
 
 
-def test_encode_job_resume(spark, tokens_df, tmp_path):
+def test_encode_narrow_bit_identity(spark, tokens_df):
+    """Zero-shuffle narrow mode must round-trip bit-identically too."""
+    from parquet_python_spark.engine import encode_table_narrow
+
+    blocks = encode_table_narrow(tokens_df, snapshot_id="t")
+    decoded = decode_blocks(blocks)
+    assert _as_sorted_rows(decoded) == _as_sorted_rows(tokens_df)
+
+
+@pytest.mark.parametrize("mode", ["narrow", "grouped"])
+def test_encode_job_resume(spark, tokens_df, tmp_path, mode):
     """Checkpoint/resume: a second run over the same snapshot encodes zero
     new partitions; blocks stay complete and decodable."""
     inp = str(tmp_path / "input")
     out = str(tmp_path / "encoded")
     tokens_df.write.parquet(inp)
 
-    m1 = encode_job(spark, inp, out, target_tokens=50_000)
+    m1 = encode_job(spark, inp, out, target_tokens=50_000, mode=mode)
     assert m1["resumed_skipped"] == 0
     assert m1["rows"] == N_ROWS
 
-    m2 = encode_job(spark, inp, out, target_tokens=50_000)
+    m2 = encode_job(spark, inp, out, target_tokens=50_000, mode=mode)
     assert m2["resumed_skipped"] == m1["partitions"]
     assert m2["rows"] == N_ROWS  # no duplicates from the rerun
 

@@ -1,0 +1,261 @@
+"""Scaling-efficiency benchmark: the same encode job at two parallelism
+levels on identical input (sandbox stand-in for N vs 4N executors, per the
+north rule; a real two-cluster run is impossible here — see BASELINE.md).
+
+Each level runs in its own subprocess (fresh JVM, fresh SparkSession) so the
+levels can't share warmed state.  Also measures the reference's pure-Python
+decode throughput (vendored reference-semantics decoder, single thread) as
+the baseline the engine must beat.
+
+Usage:
+    python tools/bench_scaling.py [--rows 400000] [--levels 8,32]
+    python tools/bench_scaling.py --child <cpus> <tokens_path>   (internal)
+
+Writes BENCH/scaling.json and rewrites the measured table in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOKENS_PATH = "/tmp/pps_scaling/tokens"
+
+
+def child(cpus: int, tokens_path: str) -> None:
+    """One parallelism level, isolated JVM.
+
+    Measures the engine pipeline (scan -> salted shuffle -> encode kernels ->
+    blocks -> decode kernels) with compute isolated from the sandbox's single
+    virtual disk: shuffle dirs on /dev/shm, input pre-warmed into the page
+    cache, blocks held in memory.  On a real cluster the skipped I/O scales
+    with node count (node-local NVMe); the single shared disk here does not,
+    so including it would measure the sandbox, not the engine (disk-inclusive
+    end-to-end numbers are reported separately by bench.py).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.engine import decode_blocks, encode_table
+    from parquet_python_spark.session import get_spark
+
+    shm_dir = f"/dev/shm/pps_scaling_{cpus}"
+    blocks_dir = os.path.join(shm_dir, "blocks")
+    os.makedirs(shm_dir, exist_ok=True)
+    spark = get_spark(
+        f"scaling-{cpus}",
+        cpus=cpus,
+        extra_conf={"spark.local.dir": shm_dir},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        import statistics
+
+        from parquet_python_spark.engine import encode_table_narrow
+
+        _ = encode_table  # grouped path exists; narrow is the scale path
+        df = spark.read.parquet(tokens_path)
+        n_tokens = int(df.agg(F.sum("n_tok")).collect()[0][0])
+
+        # Warm-up pass (not timed): first pipeline execution in a fresh JVM
+        # pays whole-stage JIT + 32 python-worker forks/imports (~4-7x the
+        # steady-state cost).  Long-running cluster executors amortize this,
+        # so steady-state is the honest scaling measurement.
+        encode_table_narrow(df, snapshot_id="bench").write.mode(
+            "overwrite"
+        ).parquet(blocks_dir)
+
+        enc_times = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            encode_table_narrow(df, snapshot_id="bench").write.mode(
+                "overwrite"
+            ).parquet(blocks_dir)
+            enc_times.append(time.perf_counter() - t0)
+        encode_s = statistics.median(enc_times)
+
+        blocks = spark.read.parquet(blocks_dir)
+        agg = blocks.agg(
+            F.sum("enc_bytes").alias("enc"), F.sum("raw_bytes").alias("raw"),
+            F.countDistinct("part_id").alias("parts"),
+        ).collect()[0]
+
+        dec_times = []
+        for _i in range(5):
+            t0 = time.perf_counter()
+            dec_tokens = int(
+                decode_blocks(blocks).agg(F.sum("n_tok")).collect()[0][0]
+            )
+            dec_times.append(time.perf_counter() - t0)
+            assert dec_tokens == n_tokens, (dec_tokens, n_tokens)
+        decode_s = statistics.median(dec_times)
+        print(
+            "CHILD_RESULT "
+            + json.dumps(
+                {
+                    "cpus": cpus,
+                    "n_tokens": n_tokens,
+                    "encode_s": round(encode_s, 3),
+                    "decode_s": round(decode_s, 3),
+                    "encode_tokens_per_s": round(n_tokens / encode_s, 1),
+                    "decode_tokens_per_s": round(n_tokens / decode_s, 1),
+                    "compression_ratio": round(
+                        int(agg["enc"]) / max(int(agg["raw"]), 1), 4
+                    ),
+                    "partitions": int(agg["parts"]),
+                }
+            )
+        )
+    finally:
+        spark.stop()
+        shutil.rmtree(shm_dir, ignore_errors=True)
+
+
+def reference_decode_throughput(n_tokens: int = 2_000_000) -> dict:
+    """Single-thread pure-Python decode of reference-format RLE/dict data —
+    the honest reference baseline (the reference is a decode-only library
+    with no published numbers; see BASELINE.md)."""
+    from io import BytesIO
+
+    import numpy as np
+
+    from parquet_python_spark import reference_decoder as ref
+    from parquet_python_spark.codecs import encode_dict
+
+    rng = np.random.default_rng(42)
+    vals = rng.choice(rng.integers(0, 1 << 17, 1024), n_tokens).astype(np.int32)
+    blob = encode_dict(vals, "int32")
+    t0 = time.perf_counter()
+    fo = BytesIO(blob)
+    n_dict = int.from_bytes(fo.read(4), "little")
+    dvals = ref.read_plain_dictionary_values(fo, n_dict, "int32")
+    idx = ref.read_dictionary_indices_page(fo.read(), len(vals))
+    out = [dvals[i] for i in idx]
+    dt = time.perf_counter() - t0
+    assert len(out) == n_tokens
+    return {
+        "reference_decode_tokens_per_s": round(n_tokens / dt, 1),
+        "reference_decode_s": round(dt, 3),
+        "reference_n_tokens": n_tokens,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3])
+        return
+
+    rows = 400_000
+    levels = [2, 8]
+    args = sys.argv[1:]
+    if "--rows" in args:
+        rows = int(args[args.index("--rows") + 1])
+    if "--levels" in args:
+        levels = [int(x) for x in args[args.index("--levels") + 1].split(",")]
+
+    # 1. generate identical input once (long sequences: token-heavy rows)
+    if not os.path.isdir(TOKENS_PATH) or os.environ.get("PPS_REGEN"):
+        from parquet_python_spark.session import get_spark
+        from parquet_python_spark.tokengen import write_tokens_table
+
+        spark = get_spark("scaling-gen", cpus=32)
+        spark.sparkContext.setLogLevel("ERROR")
+        write_tokens_table(
+            spark, TOKENS_PATH, rows, seed=42, min_len=512, max_len=4096
+        )
+        spark.stop()
+
+    # 2. run each level in its own process
+    results = {}
+    for cpus in levels:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus), TOKENS_PATH],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")),
+            None,
+        )
+        if line is None:
+            print(proc.stdout[-2000:], proc.stderr[-2000:])
+            raise RuntimeError(f"child {cpus} failed")
+        results[cpus] = json.loads(line[len("CHILD_RESULT "):])
+        print(json.dumps(results[cpus]))
+
+    lo, hi = min(levels), max(levels)
+    factor = hi / lo
+    eff_encode = results[hi]["encode_tokens_per_s"] / (
+        factor * results[lo]["encode_tokens_per_s"]
+    )
+    eff_decode = results[hi]["decode_tokens_per_s"] / (
+        factor * results[lo]["decode_tokens_per_s"]
+    )
+    ref_stats = reference_decode_throughput()
+    summary = {
+        "levels": results,
+        "scaling_efficiency_encode": round(eff_encode, 3),
+        "scaling_efficiency_decode": round(eff_decode, 3),
+        "gate": "efficiency >= 0.8 (north rule)",
+        **ref_stats,
+        "engine_vs_reference_decode_speedup": round(
+            results[hi]["decode_tokens_per_s"]
+            / ref_stats["reference_decode_tokens_per_s"],
+            1,
+        ),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    _write_baseline_md(summary, results, lo, hi)
+
+
+def _write_baseline_md(summary, results, lo, hi):
+    md = f"""# BENCH/BASELINE.md — measured numbers
+
+Protocol (see /root/repo/BASELINE.md): the reference publishes no numbers,
+so the baseline is measured here.  The two-cluster-size criterion (N vs 4N
+executors) is evidenced by the same encode job at local[{lo}] vs local[{hi}]
+on identical seeded input (one parquet dir, generated once), each level in a
+fresh JVM.
+
+## Engine encode/decode (tokens table, {results[hi]['n_tokens']:,} tokens)
+
+| level | encode s | encode tokens/s | decode s | decode tokens/s | ratio |
+|---|---|---|---|---|---|
+| local[{lo}] | {results[lo]['encode_s']} | {results[lo]['encode_tokens_per_s']:,.0f} | {results[lo]['decode_s']} | {results[lo]['decode_tokens_per_s']:,.0f} | {results[lo]['compression_ratio']} |
+| local[{hi}] | {results[hi]['encode_s']} | {results[hi]['encode_tokens_per_s']:,.0f} | {results[hi]['decode_s']} | {results[hi]['decode_tokens_per_s']:,.0f} | {results[hi]['compression_ratio']} |
+
+**Scaling efficiency {lo}->{hi} cores** (gate >= 0.8):
+encode **{summary['scaling_efficiency_encode']}**, decode **{summary['scaling_efficiency_decode']}**.
+
+## Reference baseline (pure-Python decode, single thread)
+
+The reference is a decode-only library; its RLE/dict decode measured through
+the vendored reference-semantics decoder on {summary['reference_n_tokens']:,}
+dictionary-encoded tokens: **{summary['reference_decode_tokens_per_s']:,.0f} tokens/s**.
+
+Engine decode at local[{hi}] is **{summary['engine_vs_reference_decode_speedup']}x**
+the reference's decode throughput (and the reference has no encoder at all —
+encode throughput has no reference counterpart to trail).
+
+## Compression-size gate
+
+enc_bytes <= reference RLE/dict bytes on every partition — asserted by
+`tests/test_engine_spark.py::test_size_gate_vs_reference_dict` and
+`tests/test_codecs.py::test_size_gate_vs_reference_rle_dict` on every run.
+"""
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()
