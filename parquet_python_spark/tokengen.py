@@ -120,9 +120,13 @@ def generate_tokens_df(
     partitions = partitions or max(spark.sparkContext.defaultParallelism, 8)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Slice to ~2k rows per emitted batch: at large max_len one Arrow
+        # input batch (65k ids) would otherwise materialize ~1 GB of token
+        # arrays in a single pandas frame and thrash the allocator.
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            yield _gen_batch(ids, seed, min_len, max_len)
+            for lo in range(0, len(ids), 2048):
+                yield _gen_batch(ids[lo : lo + 2048], seed, min_len, max_len)
 
     return (
         spark.range(0, n_rows, numPartitions=partitions)
@@ -137,7 +141,8 @@ def write_tokens_table(
     seed: int = 42,
     min_len: int = MIN_LEN,
     max_len: int = MAX_LEN,
+    partitions: int | None = None,
 ) -> None:
-    generate_tokens_df(spark, n_rows, seed, min_len=min_len, max_len=max_len).write.mode(
-        "overwrite"
-    ).parquet(path)
+    generate_tokens_df(
+        spark, n_rows, seed, partitions=partitions, min_len=min_len, max_len=max_len
+    ).write.mode("overwrite").parquet(path)

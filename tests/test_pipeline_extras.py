@@ -1,0 +1,137 @@
+"""Tests for the training-pipeline extras: token counting, quality scoring,
+n-gram Jaccard dedup, embedding near-dup (exact + LSH), multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat in the sun"),
+        (2, "the cat sat on the mat in the rain"),
+        (3, "x7 !! 42 abc99"),
+        (4, "completely different words entirely unrelated phrasing here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(docs):
+    from parquet_python_spark.operators.pipeline_ops import token_count
+
+    out = {r["doc_id"]: r for r in token_count(docs).collect()}
+    # "x7 !! 42 abc99" -> x,7,!!,42,abc,99 = 6 BPE-ish tokens, 4 ws tokens
+    assert out[3]["n_bpe_tokens"] == 6
+    assert out[3]["n_ws_tokens"] == 4
+    assert out[1]["n_bpe_tokens"] == 9
+    assert out[1]["n_ws_tokens"] == 9
+
+
+def test_quality_score(docs):
+    from parquet_python_spark.operators.pipeline_ops import quality_score
+
+    out = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    # doc 1: 9 words, stopword hits: the,the,in,the = 4 -> floor(4000/9) = 444
+    assert out[1]["stop_permille"] == 444
+    assert out[3]["stop_permille"] == 0
+    # doc 3: len 14, alpha chars x,abc = 4 -> floor(4000/14) = 285
+    assert out[3]["alpha_permille"] == 285
+    # doc 3: "!!" -> 2 punct chars -> floor(2000/14) = 142
+    assert out[3]["punct_permille"] == 142
+
+
+def test_ngram_jaccard(docs):
+    from parquet_python_spark.operators.pipeline_ops import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_permille"]
+        for r in ngram_jaccard_pairs(docs, min_permille=100).collect()
+    }
+    # docs 1/2 share 6 of their 7 trigrams each: J = 6/8 = 750 permille
+    assert pairs == {(1, 2): 750}
+
+
+def _emb_df(spark):
+    rows = [
+        (1, [0.5, 0.5, 0.0, 0.0]),
+        (2, [0.25, 0.25, 0.0, 0.0]),  # same direction as 1 -> cosine 1.0
+        (3, [0.0, 0.0, 0.5, 0.0]),  # orthogonal
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_near_dup_exact(spark):
+    from parquet_python_spark.operators.pipeline_ops import embedding_near_dup
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine_x10k"]
+        for r in embedding_near_dup(_emb_df(spark), min_cosine=0.8).collect()
+    }
+    assert got == {(1, 2): 10000}
+
+
+def test_embedding_near_dup_lsh_finds_same_direction(spark):
+    from parquet_python_spark.operators.pipeline_ops import embedding_near_dup_lsh
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_lsh(
+            _emb_df(spark), min_cosine=0.8, n_planes=4
+        ).collect()
+    }
+    # identical directions always share every hyperplane sign -> same bucket
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+
+
+def test_multimodal_meta_and_features(docs):
+    from parquet_python_spark.operators.multimodal import (
+        extract_features,
+        fake_decode_features,
+        media_meta,
+        with_media_column,
+    )
+
+    media = with_media_column(docs)
+    meta = {r["doc_id"]: r for r in media_meta(media).collect()}
+    text1 = "the cat sat on the mat in the sun"
+    assert meta[1]["n_bytes"] == len(text1.encode())
+    assert meta[1]["content_md5"] == hashlib.md5(text1.encode()).hexdigest()
+
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    f1 = np.array(feats[1]["features"])
+    assert f1.shape == (16,)
+    assert abs(f1.sum() - 1.0) < 1e-9
+    expected = fake_decode_features(np.frombuffer(text1.encode(), dtype=np.uint8))
+    assert np.allclose(f1, expected)
+    assert feats[1]["n_bytes"] == len(text1.encode())
+
+
+def test_multimodal_frame_sample(docs):
+    from parquet_python_spark.operators.multimodal import (
+        frame_sample,
+        with_media_column,
+    )
+
+    media = with_media_column(docs)
+    frames = frame_sample(media, every_n_bytes=8, frame_len=4).collect()
+    text1 = "the cat sat on the mat in the sun".encode()
+    mine = sorted(
+        [(r["frame_idx"], bytes(r["frame_bytes"])) for r in frames if r["doc_id"] == 1]
+    )
+    want = [
+        (k, text1[off : off + 4])
+        for k, off in enumerate(range(0, len(text1), 8))
+    ]
+    assert mine == want
+
+
+def test_decode_image_is_explicit_stub():
+    from parquet_python_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
