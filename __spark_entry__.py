@@ -121,6 +121,48 @@ def _rt_customer_doubles(spark, sf_dir):
     )
 
 
+def _rt_documents_nulls(spark, sf_dir):
+    # definition-level null weave (reference __init__.py:295-317,336-338):
+    # inject a deterministic null pattern, round-trip it bit-identically
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang_n"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(F.col("n_chars")).alias("chars_n"),
+    )
+    return roundtrip(
+        docs, "doc_id", {"doc_id": "int", "lang_n": "str", "chars_n": "int"}
+    )
+
+
+def _describe_nation(spark, sf_dir):
+    # S4 metadata dump re-expressed as a queryable table
+    from parquet_python_spark.sources.sinks import describe_table
+
+    return describe_table(_t(spark, sf_dir, "nation"))
+
+
+def _converted_types(spark, sf_dir):
+    # D21 logical-type conversions as Catalyst expressions
+    from parquet_python_spark.functions.converted import (
+        date_from_days,
+        decimal_from_unscaled,
+        timestamp_from_millis,
+        uint32,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    signed = (F.col("p_partkey") % 100000 - 50000).cast("int")
+    return part.select(
+        "p_partkey",
+        decimal_from_unscaled(F.col("p_partkey"), 18, 2).alias("dec_val"),
+        date_from_days(F.col("p_size")).alias("date_val"),
+        timestamp_from_millis(F.col("p_partkey") * 86400000).alias("ts_val"),
+        uint32(signed).alias("uint_val"),
+    )
+
+
 # ------------------------------------------------------------ pipeline ops
 
 def _dedup_exact(spark, sf_dir):
@@ -281,6 +323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_events_dict": _rt_events_dict,
         "rt_embeddings_plain": _rt_embeddings_plain,
         "rt_customer_doubles": _rt_customer_doubles,
+        "rt_documents_nulls": _rt_documents_nulls,
+        "describe_nation": _describe_nation,
+        "converted_types": _converted_types,
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
         "doc_fingerprint": _doc_fingerprint,
@@ -320,6 +365,35 @@ def oracle_sql() -> dict[str, str]:
         "rt_events_dict": "SELECT event_id, user_id, event_type FROM events",
         "rt_embeddings_plain": "SELECT vec_id, embedding, label FROM embeddings",
         "rt_customer_doubles": "SELECT c_custkey, c_acctbal FROM customer",
+        "rt_documents_nulls": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_n, "
+            "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS chars_n "
+            "FROM documents"
+        ),
+        "describe_nation": (
+            "SELECT col AS column_name, dtype, "
+            "(SELECT count(*) FROM nation) AS n_rows, n_nulls, n_distinct FROM ("
+            "SELECT 'n_nationkey' AS col, 'int' AS dtype, "
+            "count(*) FILTER (WHERE n_nationkey IS NULL) AS n_nulls, "
+            "count(DISTINCT n_nationkey) AS n_distinct FROM nation "
+            "UNION ALL SELECT 'n_name', 'string', "
+            "count(*) FILTER (WHERE n_name IS NULL), "
+            "count(DISTINCT n_name) FROM nation "
+            "UNION ALL SELECT 'n_regionkey', 'int', "
+            "count(*) FILTER (WHERE n_regionkey IS NULL), "
+            "count(DISTINCT n_regionkey) FROM nation)"
+        ),
+        "converted_types": (
+            "SELECT p_partkey, "
+            "CAST(CAST(p_partkey AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS dec_val, "
+            "DATE '1970-01-01' + p_size AS date_val, "
+            "epoch_ms(p_partkey * 86400000) AS ts_val, "
+            "CASE WHEN (p_partkey % 100000 - 50000) < 0 "
+            "THEN (p_partkey % 100000 - 50000) + 4294967296 "
+            "ELSE (p_partkey % 100000 - 50000) END AS uint_val "
+            "FROM part"
+        ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups "
             "FROM documents GROUP BY text"
