@@ -35,9 +35,10 @@ def main() -> None:
     p.add_argument("--output", required=True, help="output dir (blocks/ + metrics/)")
     p.add_argument(
         "--mode",
-        default="narrow",
-        choices=["narrow", "grouped"],
-        help="narrow: zero-shuffle mapInArrow (scale path); "
+        default="files",
+        choices=["files", "narrow", "grouped"],
+        help="files: python-native scan, one task per file (fastest); "
+        "narrow: zero-shuffle mapInArrow over the JVM scan; "
         "grouped: salted-shuffle source-pure chunks",
     )
     p.add_argument("--target-tokens", type=int, default=None,

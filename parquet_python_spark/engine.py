@@ -266,98 +266,209 @@ def encode_table_narrow(
     """
 
     def enc(batches):
-        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
         from pyspark import TaskContext
 
         split_id = TaskContext.get().partitionId()
         batch_list = list(batches)
         if not batch_list:
             return
-        tbl = pa.Table.from_batches(batch_list).combine_chunks()
         # ONE canonical sort per split, then zero-copy source slices —
         # replaces the old per-source filter passes (5 full scans) and
         # per-chunk doc_id sorts.
-        order = pc.sort_indices(
-            tbl, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
+        tbl = pa.Table.from_batches(batch_list)
+        yield from _encode_split_by_source(
+            tbl, split_id, snapshot_id, with_ref_baseline, skip_parts, part_prefix
         )
-        tbl = tbl.take(order)
-        src_codes = tbl.column("source").combine_chunks().dictionary_encode()
-        idx = src_codes.indices.to_numpy(zero_copy_only=False)
-        names = src_codes.dictionary.to_pylist()
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(np.diff(idx)) + 1, [len(idx)])
-        )
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            src = names[idx[s]]
-            pid = f"{part_prefix}{src}#{split_id}"
-            if skip_parts and pid in skip_parts:
-                continue  # checkpoint/resume: this chunk is already encoded
-            out = _encode_partition_table(
-                tbl.slice(s, e - s), snapshot_id, with_ref_baseline,
-                part_id=pid, presorted=True,
-            )
-            yield from out.to_batches()
 
     return df.mapInArrow(enc, schema=BLOCKS_SCHEMA)
 
 
+def list_input_files(input_path: str) -> list[str]:
+    """Deterministic file list (sorted names) — part_id stability for resume."""
+    return sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet")
+    )
+
+
+def encode_table_files(
+    spark: SparkSession,
+    input_path: str,
+    snapshot_id: str = "",
+    with_ref_baseline: bool = False,
+    skip_parts: frozenset | None = None,
+    part_prefix: str = "",
+) -> DataFrame:
+    """Fastest scale path: one task per input file, workers read parquet via
+    pyarrow directly.
+
+    Rationale: the encode job is UDF-dominated — with mapInArrow over a JVM
+    scan every token is decoded by the JVM parquet reader, serialized to
+    Arrow IPC, and deserialized in the python worker before the kernels even
+    start.  Reading the file in the worker (the standard python-native-scan
+    pattern for UDF-heavy Spark pipelines) eliminates both extra passes; at
+    32 workers on one box that traffic is the scaling bottleneck.  Spark
+    still owns scheduling/retries; files on shared storage make this
+    cluster-valid.  part_id = f"{source}#{file_idx}" over the SORTED file
+    list, so resume keys are stable for a fixed input layout.
+    """
+    files = list_input_files(input_path)
+    paths_df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)], "file_idx int, path string"
+    ).repartition(max(len(files), 1), "file_idx")
+
+    def enc(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for file_idx, path in zip(
+                batch.column("file_idx").to_pylist(), batch.column("path").to_pylist()
+            ):
+                # use_threads=False: each of N concurrent workers would
+                # otherwise spawn a full-width Arrow thread pool (N*cores
+                # runnable threads -> scheduler collapse at local[32])
+                tbl = pq.read_table(path, use_threads=False)
+                yield from _encode_split_by_source(
+                    tbl, file_idx, snapshot_id, with_ref_baseline,
+                    skip_parts, part_prefix,
+                )
+
+    return paths_df.mapInArrow(enc, schema=BLOCKS_SCHEMA)
+
+
+def _encode_split_by_source(
+    tbl, split_id, snapshot_id, with_ref_baseline, skip_parts, part_prefix
+):
+    """Sort one split's table by (source, doc_id) and encode each source run
+    as one partition chunk (shared by the narrow and files paths)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tbl = tbl.combine_chunks()
+    order = pc.sort_indices(
+        tbl, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
+    )
+    tbl = tbl.take(order)
+    src_codes = tbl.column("source").combine_chunks().dictionary_encode()
+    idx = src_codes.indices.to_numpy(zero_copy_only=False)
+    names = src_codes.dictionary.to_pylist()
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(idx)) + 1, [len(idx)]))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        src = names[idx[s]]
+        pid = f"{part_prefix}{src}#{split_id}"
+        if skip_parts and pid in skip_parts:
+            continue  # checkpoint/resume: this chunk is already encoded
+        out = _encode_partition_table(
+            tbl.slice(s, e - s), snapshot_id, with_ref_baseline,
+            part_id=pid, presorted=True,
+        )
+        yield from out.to_batches()
+
+
 # --------------------------------------------------------------- decode
+
+def _decode_part_table(tbl) -> "pa.Table":
+    """Decode one partition's block rows back to token rows (bit-identical).
+
+    Decodes each column payload with the vectorized kernels and re-splits
+    the flat token vector on the n_tok offsets (Arrow list layout; the
+    repetition-level concept the reference never implemented, SURVEY.md D18).
+    """
+    import pyarrow as pa
+
+    from .codecs.arrow_io import decode_str_column
+
+    rows = tbl.to_pylist()  # 4 small rows (payload bytes ride along)
+    by_col = {r["column"]: r for r in rows}
+    n_rows = int(by_col["doc_id"]["n_rows"])
+    for col in _COLUMNS:
+        row = by_col[col]
+        if zlib.crc32(row["payload"]) != int(row["checksum"]):
+            raise ValueError(f"checksum mismatch for {row['part_id']}/{col}")
+
+    def _int(col):
+        r = by_col[col]
+        return decode_column(
+            r["codec"], r["payload"], int(r["n_values"]),
+            params_from_json(r["params"]), "int",
+        )
+
+    def _str(col):
+        r = by_col[col]
+        return decode_str_column(
+            r["codec"], r["payload"], int(r["n_values"]),
+            params_from_json(r["params"]),
+        )
+
+    n_tok = _int("n_tok")
+    flat = _int("tokens").astype(np.int32)
+    offsets = np.zeros(n_rows + 1, dtype=np.int32)
+    np.cumsum(n_tok, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+    ).cast(pa.list_(pa.field("element", pa.int32(), nullable=False)))
+    return pa.table(
+        {
+            "doc_id": _str("doc_id"),
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok.astype(np.int32), type=pa.int32()),
+            "source": _str("source"),
+        }
+    )
+
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """blocks DataFrame -> original tokens DataFrame (bit-identical rows).
 
-    Groups by part_id (the blocks of one partition reunite), decodes each
-    column payload with the vectorized kernels, and re-splits the flat token
-    vector on the n_tok offsets (Arrow list layout; the repetition-level
-    concept the reference never implemented, SURVEY.md D18).
+    Groups by part_id (the blocks of one partition reunite) and decodes via
+    _decode_part_table.  General path: works on any blocks DataFrame at the
+    cost of shuffling payloads; decode_blocks_files below is the shuffle-free
+    path for blocks directories written by this engine.
     """
 
     def dec(tbl):
-        import pyarrow as pa
-
-        from .codecs.arrow_io import decode_str_column
-
-        rows = tbl.to_pylist()  # 4 small rows (payload bytes ride along)
-        by_col = {r["column"]: r for r in rows}
-        n_rows = int(by_col["doc_id"]["n_rows"])
-        for col in _COLUMNS:
-            row = by_col[col]
-            if zlib.crc32(row["payload"]) != int(row["checksum"]):
-                raise ValueError(f"checksum mismatch for {row['part_id']}/{col}")
-
-        def _int(col):
-            r = by_col[col]
-            return decode_column(
-                r["codec"], r["payload"], int(r["n_values"]),
-                params_from_json(r["params"]), "int",
-            )
-
-        def _str(col):
-            r = by_col[col]
-            return decode_str_column(
-                r["codec"], r["payload"], int(r["n_values"]),
-                params_from_json(r["params"]),
-            )
-
-        n_tok = _int("n_tok")
-        flat = _int("tokens").astype(np.int32)
-        offsets = np.zeros(n_rows + 1, dtype=np.int32)
-        np.cumsum(n_tok, out=offsets[1:])
-        tokens = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
-        ).cast(pa.list_(pa.field("element", pa.int32(), nullable=False)))
-        return pa.table(
-            {
-                "doc_id": _str("doc_id"),
-                "tokens": tokens,
-                "n_tok": pa.array(n_tok.astype(np.int32), type=pa.int32()),
-                "source": _str("source"),
-            }
-        )
+        # (wrapper without annotations: applyInArrow's eval-type inference
+        # cannot resolve _decode_part_table's string return annotation)
+        return _decode_part_table(tbl)
 
     return blocks.groupBy("part_id").applyInArrow(dec, schema=DECODED_SCHEMA)
+
+
+def decode_blocks_files(spark: SparkSession, blocks_path: str) -> DataFrame:
+    """Shuffle-free decode of a blocks directory.
+
+    Every encode task writes all column rows of its partitions contiguously
+    into one parquet file, so a part never spans files: one decode task per
+    file reads it with pyarrow and decodes part-by-part — the payload bytes
+    never cross an exchange (decode_blocks' groupBy shuffles the full
+    compressed payload; at 100 TB that shuffle IS the decode job's cost).
+    """
+    files = list_input_files(blocks_path)
+    paths_df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)], "file_idx int, path string"
+    ).repartition(max(len(files), 1), "file_idx")
+
+    def dec(batches):
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for path in batch.column("path").to_pylist():
+                tbl = pq.read_table(path, use_threads=False)
+                if tbl.num_rows == 0:
+                    continue
+                pids = tbl.column("part_id").to_pylist()
+                start = 0
+                for i in range(1, len(pids) + 1):
+                    if i == len(pids) or pids[i] != pids[start]:
+                        yield from _decode_part_table(
+                            tbl.slice(start, i - start)
+                        ).to_batches()
+                        start = i
+
+    return paths_df.mapInArrow(dec, schema=DECODED_SCHEMA)
 
 
 # ----------------------------------------------------- job with resume
@@ -380,12 +491,15 @@ def encode_job(
     output_path: str,
     target_tokens: int = TARGET_TOKENS_PER_PART,
     with_ref_baseline: bool = False,
-    mode: str = "narrow",
+    mode: str = "files",
 ) -> dict:
     """Resumable encode job: skip partitions already in the metrics table.
 
-    mode="narrow"  (default): zero-shuffle mapInArrow encode, one chunk per
-    (source, input split) — the scale path.
+    mode="files" (default): zero-shuffle, python-native scan — one task per
+    input file, workers read parquet via pyarrow (no JVM decode / Arrow IPC
+    double pass) — the fastest scale path.
+    mode="narrow": zero-shuffle mapInArrow over the JVM scan, one chunk per
+    (source, input split).
     mode="grouped": salted-shuffle encode (one chunk per (source, salt)) for
     source-pure chunk layouts sized independently of the input split plan.
 
@@ -422,9 +536,14 @@ def encode_job(
             return _encode_partition_table(tbl, snapshot_id, with_ref_baseline)
 
         blocks = with_pid.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
-    else:
+    elif mode == "narrow":
         blocks = encode_table_narrow(
             df, snapshot_id, with_ref_baseline,
+            skip_parts=frozenset(done) if done else None,
+        )
+    else:
+        blocks = encode_table_files(
+            spark, input_path, snapshot_id, with_ref_baseline,
             skip_parts=frozenset(done) if done else None,
         )
     blocks.write.mode("append").parquet(blocks_path)

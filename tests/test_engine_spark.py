@@ -115,7 +115,24 @@ def test_encode_narrow_bit_identity(spark, tokens_df):
     assert _as_sorted_rows(decoded) == _as_sorted_rows(tokens_df)
 
 
-@pytest.mark.parametrize("mode", ["narrow", "grouped"])
+def test_encode_files_and_decode_files_bit_identity(spark, tokens_df, tmp_path):
+    """files mode (python-native scan) + shuffle-free decode round-trip."""
+    from parquet_python_spark.engine import decode_blocks_files, encode_table_files
+
+    inp = str(tmp_path / "ftokens")
+    tokens_df.repartition(5).write.parquet(inp)
+    blocks_dir = str(tmp_path / "fblocks")
+    encode_table_files(spark, inp, snapshot_id="t").write.parquet(blocks_dir)
+
+    # general (shuffling) decode and the shuffle-free file decode agree
+    decoded_g = decode_blocks(spark.read.parquet(blocks_dir))
+    decoded_f = decode_blocks_files(spark, blocks_dir)
+    want = _as_sorted_rows(spark.read.parquet(inp))
+    assert _as_sorted_rows(decoded_f) == want
+    assert _as_sorted_rows(decoded_g) == want
+
+
+@pytest.mark.parametrize("mode", ["files", "narrow", "grouped"])
 def test_encode_job_resume(spark, tokens_df, tmp_path, mode):
     """Checkpoint/resume: a second run over the same snapshot encodes zero
     new partitions; blocks stay complete and decodable."""

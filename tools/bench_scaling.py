@@ -83,26 +83,30 @@ def child(cpus: int, tokens_path: str) -> None:
     try:
         import statistics
 
-        from parquet_python_spark.engine import encode_table_narrow
+        from parquet_python_spark.engine import (
+            decode_blocks_files,
+            encode_table_files,
+        )
 
-        _ = encode_table  # grouped path exists; narrow is the scale path
+        _ = (encode_table, decode_blocks)  # grouped/shuffle paths exist
         df = spark.read.parquet(tokens_path)
         n_tokens = int(df.agg(F.sum("n_tok")).collect()[0][0])
+
+        def run_encode():
+            encode_table_files(spark, tokens_path, snapshot_id="bench").write.mode(
+                "overwrite"
+            ).parquet(blocks_dir)
 
         # Warm-up pass (not timed): first pipeline execution in a fresh JVM
         # pays whole-stage JIT + 32 python-worker forks/imports (~4-7x the
         # steady-state cost).  Long-running cluster executors amortize this,
         # so steady-state is the honest scaling measurement.
-        encode_table_narrow(df, snapshot_id="bench").write.mode(
-            "overwrite"
-        ).parquet(blocks_dir)
+        run_encode()
 
         enc_times = []
         for _i in range(3):
             t0 = time.perf_counter()
-            encode_table_narrow(df, snapshot_id="bench").write.mode(
-                "overwrite"
-            ).parquet(blocks_dir)
+            run_encode()
             enc_times.append(time.perf_counter() - t0)
         encode_s = statistics.median(enc_times)
 
@@ -116,7 +120,8 @@ def child(cpus: int, tokens_path: str) -> None:
         for _i in range(5):
             t0 = time.perf_counter()
             dec_tokens = int(
-                decode_blocks(blocks).agg(F.sum("n_tok")).collect()[0][0]
+                decode_blocks_files(spark, blocks_dir)
+                .agg(F.sum("n_tok")).collect()[0][0]
             )
             dec_times.append(time.perf_counter() - t0)
             assert dec_tokens == n_tokens, (dec_tokens, n_tokens)
