@@ -284,6 +284,13 @@ def encode_table_narrow(
     return df.mapInArrow(enc, schema=BLOCKS_SCHEMA)
 
 
+def file_key(path: str) -> str:
+    """Content-addressed file id (name:size crc) — stable across snapshots
+    and listing order; keys incremental encode + resume in files mode."""
+    st = os.stat(path)
+    return f"f{zlib.crc32(f'{os.path.basename(path)}:{st.st_size}'.encode()):08x}"
+
+
 def list_input_files(input_path: str) -> list[str]:
     """Deterministic file list (sorted names) — part_id stability for resume."""
     return sorted(
@@ -300,6 +307,7 @@ def encode_table_files(
     with_ref_baseline: bool = False,
     skip_parts: frozenset | None = None,
     part_prefix: str = "",
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Fastest scale path: one task per input file, workers read parquet via
     pyarrow directly.
@@ -311,28 +319,39 @@ def encode_table_files(
     pattern for UDF-heavy Spark pipelines) eliminates both extra passes; at
     32 workers on one box that traffic is the scaling bottleneck.  Spark
     still owns scheduling/retries; files on shared storage make this
-    cluster-valid.  part_id = f"{source}#{file_idx}" over the SORTED file
-    list, so resume keys are stable for a fixed input layout.
+    cluster-valid.  part_id = f"{source}#f{crc32(name:size)}" — content-
+    addressed per FILE, so resume keys survive re-snapshots: when an
+    Iceberg-lite table gains files and is re-snapshotted, only the new
+    files encode (incremental processing; Iceberg data files are
+    immutable).
     """
-    files = list_input_files(input_path)
+    if files is None:
+        from .sources.iceberg_lite import current_snapshot_id, snapshot_files
+
+        if current_snapshot_id(input_path) is not None:
+            # Iceberg-lite table: read the snapshot's pinned file set (files
+            # added after the snapshot are invisible until re-snapshot)
+            files = snapshot_files(input_path)
+        else:
+            files = list_input_files(input_path)
     paths_df = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(files)], "file_idx int, path string"
-    ).repartition(max(len(files), 1), "file_idx")
+        [(file_key(f), f) for f in files], "file_key string, path string"
+    ).repartition(max(len(files), 1), "file_key")
 
     def enc(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         for batch in batches:
-            for file_idx, path in zip(
-                batch.column("file_idx").to_pylist(), batch.column("path").to_pylist()
+            for fkey, path in zip(
+                batch.column("file_key").to_pylist(), batch.column("path").to_pylist()
             ):
                 # use_threads=False: each of N concurrent workers would
                 # otherwise spawn a full-width Arrow thread pool (N*cores
                 # runnable threads -> scheduler collapse at local[32])
                 tbl = pq.read_table(path, use_threads=False)
                 yield from _encode_split_by_source(
-                    tbl, file_idx, snapshot_id, with_ref_baseline,
+                    tbl, fkey, snapshot_id, with_ref_baseline,
                     skip_parts, part_prefix,
                 )
 
@@ -474,10 +493,23 @@ def decode_blocks_files(spark: SparkSession, blocks_path: str) -> DataFrame:
 # ----------------------------------------------------- job with resume
 
 def snapshot_of(path: str) -> str:
-    """Content-ish snapshot id for lineage: path + file names + sizes."""
+    """Snapshot id for lineage.
+
+    Iceberg-lite tables (sources/iceberg_lite.py) use their manifest's
+    current snapshot id — reads and resume are then pinned to the exact
+    committed file set; bare parquet dirs fall back to a content hash of
+    the listing (names + sizes).
+    """
+    from .sources.iceberg_lite import current_snapshot_id
+
+    snap = current_snapshot_id(path)
+    if snap is not None:
+        return snap
     h = hashlib.sha1(path.encode())
     try:
         for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
             st = os.stat(os.path.join(path, name))
             h.update(f"{name}:{st.st_size}".encode())
     except OSError:
@@ -511,17 +543,31 @@ def encode_job(
     metrics_path = os.path.join(output_path, "metrics")
     snapshot_id = snapshot_of(input_path)
 
-    df = spark.read.parquet(input_path)
+    cur_keys: set[str] | None = None
+    if mode == "files":
+        from .sources.iceberg_lite import current_snapshot_id, snapshot_files
+
+        if current_snapshot_id(input_path) is not None:
+            cur_files = snapshot_files(input_path)
+        else:
+            cur_files = list_input_files(input_path)
+        cur_keys = {file_key(f) for f in cur_files}
+    else:
+        df = spark.read.parquet(input_path)
 
     done: set[str] = set()
     if os.path.isdir(metrics_path):
         prev = spark.read.parquet(metrics_path)
+        if mode == "files":
+            # files-mode part_ids are content-addressed per file, so any
+            # previously encoded partition stays done across snapshots
+            # (incremental encode: only new files run)
+            prev_f = prev
+        else:
+            prev_f = prev.filter(F.col("snapshot_id") == snapshot_id)
         done = {
             r["part_id"]
-            for r in prev.filter(F.col("snapshot_id") == snapshot_id)
-            .select("part_id")
-            .distinct()
-            .collect()
+            for r in prev_f.select("part_id").distinct().collect()
         }
 
     if mode == "grouped":
@@ -545,6 +591,7 @@ def encode_job(
         blocks = encode_table_files(
             spark, input_path, snapshot_id, with_ref_baseline,
             skip_parts=frozenset(done) if done else None,
+            files=cur_files,
         )
     blocks.write.mode("append").parquet(blocks_path)
 
@@ -588,7 +635,16 @@ def encode_job(
 
         shutil.rmtree(metrics_path + "_old", ignore_errors=True)
 
-    m = spark.read.parquet(metrics_path).filter(F.col("snapshot_id") == snapshot_id)
+    m = spark.read.parquet(metrics_path)
+    if mode == "files":
+        # report over the CURRENT snapshot's file set: partitions encoded
+        # under earlier snapshots count if their file is still in the table;
+        # partitions of removed files do not
+        m = m.filter(
+            F.substring_index(F.col("part_id"), "#", -1).isin(list(cur_keys))
+        )
+    else:
+        m = m.filter(F.col("snapshot_id") == snapshot_id)
     agg = m.agg(
         F.count("*").alias("parts"),
         F.sum("n_rows").alias("rows"),
@@ -603,7 +659,11 @@ def encode_job(
         "tokens": int(agg["tokens"] or 0),
         "raw_bytes": int(agg["raw"] or 0),
         "enc_bytes": int(agg["enc"] or 0),
-        "resumed_skipped": len(done),
+        "resumed_skipped": (
+            len({p for p in done if p.split("#")[-1] in cur_keys})
+            if mode == "files"
+            else len(done)
+        ),
         "mode": mode,
         "salt_map": json.dumps(salt_map) if mode == "grouped" else None,
     }
