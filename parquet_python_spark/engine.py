@@ -308,6 +308,7 @@ def encode_table_files(
     skip_parts: frozenset | None = None,
     part_prefix: str = "",
     files: list[str] | None = None,
+    max_task_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Fastest scale path: one task per input file, workers read parquet via
     pyarrow directly.
@@ -334,28 +335,70 @@ def encode_table_files(
             files = snapshot_files(input_path)
         else:
             files = list_input_files(input_path)
+    tasks = _plan_file_tasks(files, max_task_bytes)
     paths_df = spark.createDataFrame(
-        [(file_key(f), f) for f in files], "file_key string, path string"
-    ).repartition(max(len(files), 1), "file_key")
+        tasks, "task_key string, path string, rg_start int, rg_end int"
+    ).repartition(max(len(tasks), 1), "task_key")
 
     def enc(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         for batch in batches:
-            for fkey, path in zip(
-                batch.column("file_key").to_pylist(), batch.column("path").to_pylist()
+            for tkey, path, rg_start, rg_end in zip(
+                batch.column("task_key").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("rg_start").to_pylist(),
+                batch.column("rg_end").to_pylist(),
             ):
                 # use_threads=False: each of N concurrent workers would
                 # otherwise spawn a full-width Arrow thread pool (N*cores
                 # runnable threads -> scheduler collapse at local[32])
-                tbl = pq.read_table(path, use_threads=False)
+                if rg_start < 0:
+                    tbl = pq.read_table(path, use_threads=False)
+                else:
+                    tbl = pq.ParquetFile(path).read_row_groups(
+                        list(range(rg_start, rg_end)), use_threads=False
+                    )
                 yield from _encode_split_by_source(
-                    tbl, fkey, snapshot_id, with_ref_baseline,
+                    tbl, tkey, snapshot_id, with_ref_baseline,
                     skip_parts, part_prefix,
                 )
 
     return paths_df.mapInArrow(enc, schema=BLOCKS_SCHEMA)
+
+
+def _plan_file_tasks(files: list[str], max_task_bytes: int) -> list[tuple]:
+    """One task per file; oversized files (skewed upstream writers) split
+    into row-group ranges of <= max_task_bytes each — bounded task size
+    without any shuffle.  (rg_start, rg_end) = (-1, -1) means whole file.
+    Task keys stay content-addressed: f"{file_key}.rg{start}"."""
+    tasks: list[tuple] = []
+    for f in files:
+        fk = file_key(f)
+        size = os.stat(f).st_size
+        if size <= max_task_bytes:
+            tasks.append((fk, f, -1, -1))
+            continue
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(f).metadata
+        n_rg = meta.num_row_groups
+        if n_rg <= 1:
+            tasks.append((fk, f, -1, -1))
+            continue
+        group: list[int] = []
+        acc = 0
+        for rg in range(n_rg):
+            rg_bytes = meta.row_group(rg).total_byte_size
+            if group and acc + rg_bytes > max_task_bytes:
+                tasks.append((f"{fk}.rg{group[0]}", f, group[0], group[-1] + 1))
+                group, acc = [], 0
+            group.append(rg)
+            acc += rg_bytes
+        if group:
+            tasks.append((f"{fk}.rg{group[0]}", f, group[0], group[-1] + 1))
+    return tasks
 
 
 def _encode_split_by_source(
@@ -641,7 +684,9 @@ def encode_job(
         # under earlier snapshots count if their file is still in the table;
         # partitions of removed files do not
         m = m.filter(
-            F.substring_index(F.col("part_id"), "#", -1).isin(list(cur_keys))
+            F.substring_index(
+                F.substring_index(F.col("part_id"), "#", -1), ".", 1
+            ).isin(list(cur_keys))
         )
     else:
         m = m.filter(F.col("snapshot_id") == snapshot_id)
@@ -660,7 +705,7 @@ def encode_job(
         "raw_bytes": int(agg["raw"] or 0),
         "enc_bytes": int(agg["enc"] or 0),
         "resumed_skipped": (
-            len({p for p in done if p.split("#")[-1] in cur_keys})
+            len({p for p in done if p.split("#")[-1].split(".")[0] in cur_keys})
             if mode == "files"
             else len(done)
         ),

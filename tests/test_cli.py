@@ -1,0 +1,30 @@
+"""Reference-parity CLI (python -m parquet_python_spark) end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_metadata_limit_col_json():
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "parquet_python_spark",
+            "--metadata", "--limit", "2",
+            "--col", "n_nationkey", "--col", "n_name",
+            "--format", "json",
+            "/root/testdata/sf0.001/nation.parquet",
+        ],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 2  # --limit honored
+    row = json.loads(lines[0])
+    assert set(row) == {"n_nationkey", "n_name"}  # --col projection
+    assert "n_nationkey: int rows=25" in proc.stdout  # --metadata stats

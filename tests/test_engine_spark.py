@@ -177,3 +177,31 @@ def test_decode_detects_corruption(spark, tokens_df):
     )
     with pytest.raises(Exception):
         decode_blocks(tampered).collect()
+def test_files_mode_splits_large_files_by_row_group(spark, tmp_path):
+    """Skew defense: a file bigger than max_task_bytes becomes several
+    row-group-range tasks with content-addressed sub-keys."""
+    from parquet_python_spark.engine import (
+        _plan_file_tasks,
+        decode_blocks,
+        encode_table_files,
+        list_input_files,
+    )
+    from parquet_python_spark.tokengen import generate_tokens_df
+
+    inp = str(tmp_path / "big")
+    # one file, several small row groups
+    (generate_tokens_df(spark, 600, 11, partitions=1)
+        .coalesce(1).write.option("parquet.block.size", 64 * 1024).parquet(inp))
+    files = list_input_files(inp)
+    assert len(files) == 1
+    tasks = _plan_file_tasks(files, max_task_bytes=96 * 1024)
+    assert len(tasks) > 1
+    assert all(t[0].count(".rg") == 1 for t in tasks)
+
+    blocks = encode_table_files(
+        spark, inp, snapshot_id="t", max_task_bytes=96 * 1024
+    )
+    decoded = decode_blocks(blocks)
+    src = spark.read.parquet(inp)
+    assert _as_sorted_rows(decoded) == _as_sorted_rows(src)
+
