@@ -121,6 +121,28 @@ def _rt_customer_doubles(spark, sf_dir):
     )
 
 
+def _rt_region_nation_supplier(spark, sf_dir):
+    # remaining fixture tables, unioned: full 10-table round-trip coverage
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    region = roundtrip(
+        _t(spark, sf_dir, "region"), "r_regionkey",
+        {"r_regionkey": "int", "r_name": "str"},
+    ).select(F.col("r_regionkey").alias("k"), F.col("r_name").alias("name"),
+             F.lit("region").alias("tbl"))
+    nation = roundtrip(
+        _t(spark, sf_dir, "nation"), "n_nationkey",
+        {"n_nationkey": "int", "n_name": "str"},
+    ).select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name"),
+             F.lit("nation").alias("tbl"))
+    supplier = roundtrip(
+        _t(spark, sf_dir, "supplier"), "s_suppkey",
+        {"s_suppkey": "int", "s_name": "str"},
+    ).select(F.col("s_suppkey").alias("k"), F.col("s_name").alias("name"),
+             F.lit("supplier").alias("tbl"))
+    return region.unionAll(nation).unionAll(supplier)
+
+
 def _rt_documents_nulls(spark, sf_dir):
     # definition-level null weave (reference __init__.py:295-317,336-338):
     # inject a deterministic null pattern, round-trip it bit-identically
@@ -324,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_embeddings_plain": _rt_embeddings_plain,
         "rt_customer_doubles": _rt_customer_doubles,
         "rt_documents_nulls": _rt_documents_nulls,
+        "rt_region_nation_supplier": _rt_region_nation_supplier,
         "describe_nation": _describe_nation,
         "converted_types": _converted_types,
         "dedup_exact": _dedup_exact,
@@ -365,6 +388,13 @@ def oracle_sql() -> dict[str, str]:
         "rt_events_dict": "SELECT event_id, user_id, event_type FROM events",
         "rt_embeddings_plain": "SELECT vec_id, embedding, label FROM embeddings",
         "rt_customer_doubles": "SELECT c_custkey, c_acctbal FROM customer",
+        "rt_region_nation_supplier": (
+            "SELECT r_regionkey AS k, r_name AS name, 'region' AS tbl FROM region "
+            "UNION ALL "
+            "SELECT n_nationkey, n_name, 'nation' FROM nation "
+            "UNION ALL "
+            "SELECT s_suppkey, s_name, 'supplier' FROM supplier"
+        ),
         "rt_documents_nulls": (
             "SELECT doc_id, "
             "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_n, "

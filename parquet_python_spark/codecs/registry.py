@@ -270,10 +270,53 @@ def select_str_codec(values) -> str:
     return "str_plain"
 
 
+# -------------------------------------------------- outer (page) compression
+
+def wrap_outer(payload: bytes, params: dict, outer: str | None) -> bytes:
+    """Optional whole-payload compression — parity with the reference's page
+    decompress (D20: SNAPPY/GZIP at /root/reference/parquet/__init__.py:223-250).
+    Orthogonal to the lightweight encodings; applied only when it shrinks
+    (and never relied on by the <=-reference-size gate).  zlib stands in for
+    both reference codecs (snappy is not installed here; the enum slot is
+    kept open in params)."""
+    if not outer:
+        return payload
+    if outer != "zlib":
+        raise KeyError(f"unknown outer codec {outer}")
+    import zlib
+
+    compressed = zlib.compress(payload, 1)
+    if len(compressed) < len(payload):
+        params["outer"] = "zlib"
+        return compressed
+    return payload
+
+
+def unwrap_outer(payload: bytes, params: dict) -> bytes:
+    outer = params.get("outer")
+    if not outer:
+        return payload
+    if outer != "zlib":
+        raise KeyError(f"unknown outer codec {outer}")
+    import zlib
+
+    return zlib.decompress(payload)
+
+
 # ------------------------------------------------------------- public API
 
-def encode_column(values, kind: str = "int", codec: str | None = None):
-    """Encode one column chunk; returns (codec, params, payload, stats)."""
+def encode_column(values, kind: str = "int", codec: str | None = None, outer: str | None = None):
+    """Encode one column chunk; returns (codec, params, payload, stats).
+
+    ``outer`` optionally wraps the encoded payload in a general-purpose
+    compressor (see wrap_outer) — the reference's page-compression layer."""
+    codec, params, payload, stats = _encode_column_inner(values, kind, codec)
+    if outer:
+        payload = wrap_outer(payload, params, outer)
+    return codec, params, payload, stats
+
+
+def _encode_column_inner(values, kind: str, codec: str | None):
     if kind == "int":
         # dtype-preserving: int32 inputs stay int32 through the kernels
         # (halves memory traffic — the scaling bottleneck at 32 workers)
@@ -301,6 +344,7 @@ def encode_column(values, kind: str = "int", codec: str | None = None):
 
 
 def decode_column(codec: str, payload: bytes, n: int, params: dict, kind: str = "int"):
+    payload = unwrap_outer(payload, params)
     if kind == "int":
         return _dec_int(payload, n, codec, params)
     if kind == "str":

@@ -285,10 +285,13 @@ def encode_table_narrow(
 
 
 def file_key(path: str) -> str:
-    """Content-addressed file id (name:size crc) — stable across snapshots
-    and listing order; keys incremental encode + resume in files mode."""
+    """Content-addressed file id (64-bit hash of name:size) — stable across
+    snapshots and listing order; keys incremental encode + resume in files
+    mode.  64 bits, not crc32: at ~10^5 files a 32-bit key has ~birthday-odds
+    of a collision, which would silently skip a file."""
     st = os.stat(path)
-    return f"f{zlib.crc32(f'{os.path.basename(path)}:{st.st_size}'.encode()):08x}"
+    h = hashlib.sha1(f"{os.path.basename(path)}:{st.st_size}".encode())
+    return f"f{h.hexdigest()[:16]}"
 
 
 def list_input_files(input_path: str) -> list[str]:

@@ -214,3 +214,26 @@ def test_size_gate_vs_reference_rle_dict():
         ref_blob = encode_dict(vals.astype(np.int32), "int32")
         codec, params, payload, _ = encode_column(vals, "int")
         assert len(payload) <= len(ref_blob), (name, codec, len(payload), len(ref_blob))
+
+
+def test_outer_compression_wrap_roundtrip():
+    """D20 parity: optional page-level compression wraps the encoded payload
+    (applied only when it shrinks; decode is transparent)."""
+    import numpy as np
+
+    from parquet_python_spark.codecs import decode_column, encode_column
+
+    vals = np.zeros(10_000, dtype=np.int64) + 5
+    c, p, blob, _ = encode_column(vals, "int", codec="plain64", outer="zlib")
+    assert p.get("outer") == "zlib" and len(blob) < 8 * len(vals)
+    out = decode_column(c, blob, len(vals), p, "int")
+    assert np.array_equal(np.asarray(out), vals)
+
+    # incompressible payload: wrap is a no-op and params stay clean
+    rng = np.random.default_rng(1)
+    rand = rng.integers(0, 1 << 62, 5_000).astype(np.int64)
+    c, p, blob, _ = encode_column(rand, "int", codec="plain64", outer="zlib")
+    assert "outer" not in p
+    assert np.array_equal(
+        np.asarray(decode_column(c, blob, len(rand), p, "int")), rand
+    )

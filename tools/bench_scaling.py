@@ -8,7 +8,7 @@ decode throughput (vendored reference-semantics decoder, single thread) as
 the baseline the engine must beat.
 
 Usage:
-    python tools/bench_scaling.py [--rows 300000] [--levels 8,32]
+    python tools/bench_scaling.py [--rows 300000] [--levels 2,8,32] [--repeats 2]
     python tools/bench_scaling.py --child <cpus> <tokens_path>   (internal)
 
 Writes BENCH/scaling.json and rewrites the measured table in BENCH/BASELINE.md.
@@ -206,24 +206,41 @@ def main() -> None:
         )
         spark.stop()
 
-    # 2. run each level in its own process
+    # 2. run each level in its own process, REPEATS times, interleaved
+    # (2,8,32,2,8,32,...), keeping the per-level best throughput for encode
+    # and decode independently: this VM shows ±20% noise over tens of
+    # minutes from outside interference, and interleaving + best-of keeps an
+    # unlucky window from landing on one level and faking an efficiency
+    # cliff (each child already medians 3-5 in-process iterations).
+    repeats = 2
+    if "--repeats" in args:
+        repeats = int(args[args.index("--repeats") + 1])
     results = {}
-    for cpus in levels:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cpus), TOKENS_PATH],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = next(
-            (l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")),
-            None,
-        )
-        if line is None:
-            print(proc.stdout[-2000:], proc.stderr[-2000:])
-            raise RuntimeError(f"child {cpus} failed")
-        results[cpus] = json.loads(line[len("CHILD_RESULT "):])
-        print(json.dumps(results[cpus]))
+    for _rep in range(repeats):
+        for cpus in levels:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(cpus), TOKENS_PATH],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = next(
+                (l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")),
+                None,
+            )
+            if line is None:
+                print(proc.stdout[-2000:], proc.stderr[-2000:])
+                raise RuntimeError(f"child {cpus} failed")
+            r = json.loads(line[len("CHILD_RESULT "):])
+            print(json.dumps(r))
+            best = results.get(cpus)
+            if best is None:
+                results[cpus] = r
+            else:
+                for metric, t in (("encode", "encode_s"), ("decode", "decode_s")):
+                    if r[f"{metric}_tokens_per_s"] > best[f"{metric}_tokens_per_s"]:
+                        best[f"{metric}_tokens_per_s"] = r[f"{metric}_tokens_per_s"]
+                        best[t] = r[t]
 
     levels = sorted(levels)
     parts = {results[lv]["partitions"] for lv in levels}
@@ -309,8 +326,12 @@ def _write_baseline_md(summary, results, lo, hi):
 Protocol (see /root/repo/BASELINE.md): the reference publishes no numbers,
 so the baseline is measured here.  The two-cluster-size criterion (N vs 4N
 executors) is evidenced by the same encode job at several local[N] levels on
-identical seeded input (identical pinned split plans — asserted — so every
-level does exactly the same work), each level in a fresh JVM.
+identical seeded input (identical task plans — asserted — so every level
+does exactly the same work), each level in a fresh JVM, CPU-affinity-bound
+to exactly N cores.  Levels run interleaved with 2 repeats, best-of kept per
+level (each child already medians 3-5 in-process iterations): this shared VM
+shows ±20% noise over tens of minutes, and interleaving keeps an unlucky
+window from faking an efficiency cliff on one level.
 
 ## Engine encode/decode (tokens table, {results[hi]['n_tokens']:,} tokens)
 
