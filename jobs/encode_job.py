@@ -36,9 +36,10 @@ def main() -> None:
     p.add_argument(
         "--mode",
         default="files",
-        choices=["files", "narrow", "grouped"],
-        help="files: python-native scan, one task per file (fastest); "
-        "narrow: zero-shuffle mapInArrow over the JVM scan; "
+        choices=["files", "narrow", "narrow-ipc", "grouped"],
+        help="files: python-native scan + worker-native block writes "
+        "(fastest); narrow: zero-shuffle mapInArrow over the JVM scan; "
+        "narrow-ipc: python-native scan, JVM block writer; "
         "grouped: salted-shuffle source-pure chunks",
     )
     p.add_argument("--target-tokens", type=int, default=None,

@@ -8,12 +8,16 @@ Mapping (SURVEY.md §1.3):
     row pivot      -> never (Arrow-columnar end to end)
 
 Scale design notes (targets a 1000-executor cluster; local[32] here):
-  * ONE shuffle total: the repartition onto (source, salt).  Encode is then
-    embarrassingly parallel; no further exchange.
-  * Skew: per-source token totals are tiny aggregates (one row per source);
-    the salt count per source is sized so each (source, salt) bucket holds
-    ~TARGET_TOKENS_PER_PART tokens.  The dominant source (60% of rows in the
-    generator) fans out across the cluster instead of hot-spotting one task.
+  * Default "files" mode is ZERO-shuffle end to end: one task per input
+    file / row-group range, workers read parquet via pyarrow and write their
+    own block files — token payloads never cross the JVM<->python Arrow IPC
+    boundary or an exchange.  decode_blocks_files mirrors it on the way back.
+  * "grouped" mode (salted shuffle) exists for source-pure chunk layouts:
+    per-source token totals are tiny aggregates; the salt count per source
+    is sized so each (source, salt) bucket holds ~TARGET_TOKENS_PER_PART
+    tokens — the dominant source (60% of rows in the generator) fans out
+    across the cluster instead of hot-spotting one task.  In files mode the
+    same skew is bounded by row-group-range task splitting instead.
   * Checkpoint/resume: completed part_ids live in the metrics table; resume
     anti-joins them (broadcast — the completed list is one row per partition,
     i.e. metadata-sized even at 10^12 sequences with ~1e5 partitions).
@@ -371,6 +375,81 @@ def encode_table_files(
     return paths_df.mapInArrow(enc, schema=BLOCKS_SCHEMA)
 
 
+def encode_table_files_native(
+    spark: SparkSession,
+    input_path: str,
+    blocks_dir: str,
+    snapshot_id: str = "",
+    with_ref_baseline: bool = False,
+    skip_parts: frozenset | None = None,
+    part_prefix: str = "",
+    files: list[str] | None = None,
+    max_task_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """files-mode encode with WORKER-NATIVE block writes.
+
+    Each task writes its own parquet block file (pyarrow) under blocks_dir —
+    the encoded payloads never cross the python->JVM Arrow IPC boundary nor
+    the JVM parquet writer (measured here: that write-back path is both the
+    wide-core bottleneck and the dominant variance source).  Commit protocol:
+    deterministic per-task file names (blk-<task_key>.parquet) written to a
+    temp name and atomically renamed, so retries/re-runs are idempotent; the
+    caller snapshots blocks_dir (iceberg_lite.write_snapshot) to commit.
+
+    Returns the blocks *metadata* DataFrame (all columns except payload) —
+    consuming it drives the job.
+    """
+    if files is None:
+        from .sources.iceberg_lite import current_snapshot_id, snapshot_files
+
+        if current_snapshot_id(input_path) is not None:
+            files = snapshot_files(input_path)
+        else:
+            files = list_input_files(input_path)
+    os.makedirs(blocks_dir, exist_ok=True)
+    tasks = _plan_file_tasks(files, max_task_bytes)
+    paths_df = spark.createDataFrame(
+        tasks, "task_key string, path string, rg_start int, rg_end int"
+    ).repartition(max(len(tasks), 1), "task_key")
+
+    def enc(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for tkey, path, rg_start, rg_end in zip(
+                batch.column("task_key").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("rg_start").to_pylist(),
+                batch.column("rg_end").to_pylist(),
+            ):
+                if rg_start < 0:
+                    tbl = pq.read_table(path, use_threads=False)
+                else:
+                    tbl = pq.ParquetFile(path).read_row_groups(
+                        list(range(rg_start, rg_end)), use_threads=False
+                    )
+                out_batches = list(
+                    _encode_split_by_source(
+                        tbl, tkey, snapshot_id, with_ref_baseline,
+                        skip_parts, part_prefix,
+                    )
+                )
+                if not out_batches:
+                    continue
+                out = pa.Table.from_batches(out_batches, schema=_BLOCKS_ARROW_SCHEMA)
+                fname = os.path.join(blocks_dir, f"blk-{tkey}.parquet")
+                tmp = fname + ".inprogress"
+                pq.write_table(out, tmp)
+                os.rename(tmp, fname)
+                yield from out.drop_columns(["payload"]).to_batches()
+
+    meta_schema = T.StructType(
+        [f for f in BLOCKS_SCHEMA.fields if f.name != "payload"]
+    )
+    return paths_df.mapInArrow(enc, schema=meta_schema)
+
+
 def _plan_file_tasks(files: list[str], max_task_bytes: int) -> list[tuple]:
     """One task per file; oversized files (skewed upstream writers) split
     into row-group ranges of <= max_task_bytes each — bounded task size
@@ -628,18 +707,33 @@ def encode_job(
             return _encode_partition_table(tbl, snapshot_id, with_ref_baseline)
 
         blocks = with_pid.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
+        blocks.write.mode("append").parquet(blocks_path)
     elif mode == "narrow":
         blocks = encode_table_narrow(
             df, snapshot_id, with_ref_baseline,
             skip_parts=frozenset(done) if done else None,
         )
-    else:
+        blocks.write.mode("append").parquet(blocks_path)
+    elif mode == "narrow-ipc":
+        # files-mode encode that returns payloads through the JVM writer
+        # (kept for DataFrame-API composition; the default files mode below
+        # writes blocks worker-natively, which measures faster and steadier)
         blocks = encode_table_files(
             spark, input_path, snapshot_id, with_ref_baseline,
             skip_parts=frozenset(done) if done else None,
             files=cur_files,
         )
-    blocks.write.mode("append").parquet(blocks_path)
+        blocks.write.mode("append").parquet(blocks_path)
+    else:
+        meta = encode_table_files_native(
+            spark, input_path, blocks_path, snapshot_id, with_ref_baseline,
+            skip_parts=frozenset(done) if done else None,
+            files=cur_files,
+        )
+        meta.count()  # execute: workers write blk-*.parquet themselves
+        from .sources.iceberg_lite import write_snapshot
+
+        write_snapshot(blocks_path)  # commit the blocks dir as a snapshot
 
     # Idempotent rollup: metrics := aggregate of everything in blocks/.
     # Parquet column pruning keeps the payload column unread here, so this

@@ -15,7 +15,8 @@ Determinism: snapshot ids are content hashes (file names + sizes), and
 history is a parent-pointer chain with a sequence number — no wall-clock
 anywhere, so tests and checkpoint/resume are bit-reproducible.
 
-Layout under <table>/metadata/:
+Layout under <table>/_iceberg/ (underscore-prefixed so Spark's parquet
+file index ignores it when the table dir is read directly):
     snap-<id>.json   {"snapshot_id", "sequence", "parent", "files":[{path,size,rows}]}
     current          text file holding the current snapshot id
 """
@@ -35,7 +36,7 @@ __all__ = [
 
 
 def _meta_dir(table_path: str) -> str:
-    return os.path.join(table_path, "metadata")
+    return os.path.join(table_path, "_iceberg")
 
 
 def _data_files(table_path: str) -> list[dict]:

@@ -85,7 +85,7 @@ def child(cpus: int, tokens_path: str) -> None:
 
         from parquet_python_spark.engine import (
             decode_blocks_files,
-            encode_table_files,
+            encode_table_files_native,
         )
 
         _ = (encode_table, decode_blocks)  # grouped/shuffle paths exist
@@ -93,9 +93,11 @@ def child(cpus: int, tokens_path: str) -> None:
         n_tokens = int(df.agg(F.sum("n_tok")).collect()[0][0])
 
         def run_encode():
-            encode_table_files(spark, tokens_path, snapshot_id="bench").write.mode(
-                "overwrite"
-            ).parquet(blocks_dir)
+            # worker-native block writes (the default encode_job path):
+            # deterministic file names make re-runs overwrite in place
+            encode_table_files_native(
+                spark, tokens_path, blocks_dir, snapshot_id="bench"
+            ).count()
 
         # Warm-up pass (not timed): first pipeline execution in a fresh JVM
         # pays whole-stage JIT + 32 python-worker forks/imports (~4-7x the
