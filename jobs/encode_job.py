@@ -59,6 +59,7 @@ def main() -> None:
 
     from parquet_python_spark.engine import (
         TARGET_TOKENS_PER_PART,
+        current_blocks,
         decode_blocks,
         encode_job,
     )
@@ -84,7 +85,12 @@ def main() -> None:
             ).collect()[0]
 
         src = content_agg(spark.read.parquet(args.input))
-        blocks = spark.read.parquet(args.output + "/blocks")
+        # filter to the input's current state: blocks/ accumulates history
+        # (incremental encodes, removed files), which would otherwise fail
+        # the round-trip comparison spuriously
+        blocks = current_blocks(
+            spark, args.input, args.output + "/blocks", args.mode
+        )
         dec = content_agg(decode_blocks(blocks))
         stats["verify_ok"] = (
             src["rows"] == dec["rows"]

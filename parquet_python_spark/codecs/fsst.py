@@ -73,7 +73,7 @@ def train_merges(
         # rounds ~20x vs one-merge-per-round with near-identical tables.
         batch: list[tuple[int, int]] = []
         used: set[int] = set()
-        for j in order[: 4 * 32]:
+        for j in order:
             if cnts[j] < min_count or len(batch) >= 32:
                 break
             if len(merges) + len(batch) >= max_symbols:

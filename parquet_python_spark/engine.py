@@ -307,6 +307,31 @@ def list_input_files(input_path: str) -> list[str]:
     )
 
 
+def resolve_input_files(input_path: str) -> list[str]:
+    """Snapshot-pinned file set for iceberg-lite tables (files added after
+    the snapshot are invisible until re-snapshot); sorted listing otherwise."""
+    from .sources.iceberg_lite import current_snapshot_id, snapshot_files
+
+    if current_snapshot_id(input_path) is not None:
+        return snapshot_files(input_path)
+    return list_input_files(input_path)
+
+
+def _read_task_table(path: str, rg_start: int, rg_end: int):
+    """Read one planned task's data (whole file or a row-group range).
+
+    use_threads=False: each of N concurrent workers would otherwise spawn a
+    full-width Arrow thread pool (N*cores runnable threads -> scheduler
+    collapse at local[32])."""
+    import pyarrow.parquet as pq
+
+    if rg_start < 0:
+        return pq.read_table(path, use_threads=False)
+    return pq.ParquetFile(path).read_row_groups(
+        list(range(rg_start, rg_end)), use_threads=False
+    )
+
+
 def encode_table_files(
     spark: SparkSession,
     input_path: str,
@@ -333,24 +358,13 @@ def encode_table_files(
     files encode (incremental processing; Iceberg data files are
     immutable).
     """
-    if files is None:
-        from .sources.iceberg_lite import current_snapshot_id, snapshot_files
-
-        if current_snapshot_id(input_path) is not None:
-            # Iceberg-lite table: read the snapshot's pinned file set (files
-            # added after the snapshot are invisible until re-snapshot)
-            files = snapshot_files(input_path)
-        else:
-            files = list_input_files(input_path)
+    files = files if files is not None else resolve_input_files(input_path)
     tasks = _plan_file_tasks(files, max_task_bytes)
     paths_df = spark.createDataFrame(
         tasks, "task_key string, path string, rg_start int, rg_end int"
     ).repartition(max(len(tasks), 1), "task_key")
 
     def enc(batches):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         for batch in batches:
             for tkey, path, rg_start, rg_end in zip(
                 batch.column("task_key").to_pylist(),
@@ -358,15 +372,7 @@ def encode_table_files(
                 batch.column("rg_start").to_pylist(),
                 batch.column("rg_end").to_pylist(),
             ):
-                # use_threads=False: each of N concurrent workers would
-                # otherwise spawn a full-width Arrow thread pool (N*cores
-                # runnable threads -> scheduler collapse at local[32])
-                if rg_start < 0:
-                    tbl = pq.read_table(path, use_threads=False)
-                else:
-                    tbl = pq.ParquetFile(path).read_row_groups(
-                        list(range(rg_start, rg_end)), use_threads=False
-                    )
+                tbl = _read_task_table(path, rg_start, rg_end)
                 yield from _encode_split_by_source(
                     tbl, tkey, snapshot_id, with_ref_baseline,
                     skip_parts, part_prefix,
@@ -399,13 +405,7 @@ def encode_table_files_native(
     Returns the blocks *metadata* DataFrame (all columns except payload) —
     consuming it drives the job.
     """
-    if files is None:
-        from .sources.iceberg_lite import current_snapshot_id, snapshot_files
-
-        if current_snapshot_id(input_path) is not None:
-            files = snapshot_files(input_path)
-        else:
-            files = list_input_files(input_path)
+    files = files if files is not None else resolve_input_files(input_path)
     os.makedirs(blocks_dir, exist_ok=True)
     tasks = _plan_file_tasks(files, max_task_bytes)
     paths_df = spark.createDataFrame(
@@ -415,6 +415,7 @@ def encode_table_files_native(
     def enc(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark import TaskContext
 
         for batch in batches:
             for tkey, path, rg_start, rg_end in zip(
@@ -423,12 +424,7 @@ def encode_table_files_native(
                 batch.column("rg_start").to_pylist(),
                 batch.column("rg_end").to_pylist(),
             ):
-                if rg_start < 0:
-                    tbl = pq.read_table(path, use_threads=False)
-                else:
-                    tbl = pq.ParquetFile(path).read_row_groups(
-                        list(range(rg_start, rg_end)), use_threads=False
-                    )
+                tbl = _read_task_table(path, rg_start, rg_end)
                 out_batches = list(
                     _encode_split_by_source(
                         tbl, tkey, snapshot_id, with_ref_baseline,
@@ -439,7 +435,15 @@ def encode_table_files_native(
                     continue
                 out = pa.Table.from_batches(out_batches, schema=_BLOCKS_ARROW_SCHEMA)
                 fname = os.path.join(blocks_dir, f"blk-{tkey}.parquet")
-                tmp = fname + ".inprogress"
+                # attempt-unique temp name: concurrent attempts (speculation,
+                # zombie retries) must never interleave writes on one inode;
+                # dot prefix keeps Spark's file index and list_input_files
+                # from ever seeing an in-progress or abandoned temp.
+                ctx = TaskContext.get()
+                attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+                tmp = os.path.join(
+                    blocks_dir, f".blk-{tkey}.parquet.inprogress-{attempt}"
+                )
                 pq.write_table(out, tmp)
                 os.rename(tmp, fname)
                 yield from out.drop_columns(["payload"]).to_batches()
@@ -472,7 +476,11 @@ def _plan_file_tasks(files: list[str], max_task_bytes: int) -> list[tuple]:
         group: list[int] = []
         acc = 0
         for rg in range(n_rg):
-            rg_bytes = meta.row_group(rg).total_byte_size
+            rg_meta = meta.row_group(rg)
+            rg_bytes = sum(
+                rg_meta.column(j).total_compressed_size
+                for j in range(rg_meta.num_columns)
+            )
             if group and acc + rg_bytes > max_task_bytes:
                 tasks.append((f"{fk}.rg{group[0]}", f, group[0], group[-1] + 1))
                 group, acc = [], 0
@@ -491,6 +499,8 @@ def _encode_split_by_source(
     import numpy as np
     import pyarrow.compute as pc
 
+    if tbl.num_rows == 0:
+        return  # Spark routinely writes 0-row part files; nothing to encode
     tbl = tbl.combine_chunks()
     order = pc.sort_indices(
         tbl, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
@@ -581,6 +591,26 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     return blocks.groupBy("part_id").applyInArrow(dec, schema=DECODED_SCHEMA)
 
 
+def current_blocks(
+    spark: SparkSession, input_path: str, blocks_path: str, mode: str = "files"
+) -> DataFrame:
+    """Blocks rows belonging to the input's CURRENT state.
+
+    blocks/ accumulates history (incremental encodes, old snapshots of
+    since-removed files); consumers that must mirror the input exactly —
+    e.g. the encode job's --verify round-trip — filter through this.
+    """
+    blocks = spark.read.parquet(blocks_path)
+    if mode in ("files", "narrow-ipc"):
+        keys = [file_key(f) for f in resolve_input_files(input_path)]
+        return blocks.filter(
+            F.substring_index(
+                F.substring_index(F.col("part_id"), "#", -1), ".", 1
+            ).isin(keys)
+        )
+    return blocks.filter(F.col("snapshot_id") == snapshot_of(input_path))
+
+
 def decode_blocks_files(spark: SparkSession, blocks_path: str) -> DataFrame:
     """Shuffle-free decode of a blocks directory.
 
@@ -669,13 +699,8 @@ def encode_job(
     snapshot_id = snapshot_of(input_path)
 
     cur_keys: set[str] | None = None
-    if mode == "files":
-        from .sources.iceberg_lite import current_snapshot_id, snapshot_files
-
-        if current_snapshot_id(input_path) is not None:
-            cur_files = snapshot_files(input_path)
-        else:
-            cur_files = list_input_files(input_path)
+    if mode in ("files", "narrow-ipc"):
+        cur_files = resolve_input_files(input_path)
         cur_keys = {file_key(f) for f in cur_files}
     else:
         df = spark.read.parquet(input_path)
@@ -683,7 +708,7 @@ def encode_job(
     done: set[str] = set()
     if os.path.isdir(metrics_path):
         prev = spark.read.parquet(metrics_path)
-        if mode == "files":
+        if mode in ("files", "narrow-ipc"):
             # files-mode part_ids are content-addressed per file, so any
             # previously encoded partition stays done across snapshots
             # (incremental encode: only new files run)
@@ -776,7 +801,7 @@ def encode_job(
         shutil.rmtree(metrics_path + "_old", ignore_errors=True)
 
     m = spark.read.parquet(metrics_path)
-    if mode == "files":
+    if mode in ("files", "narrow-ipc"):
         # report over the CURRENT snapshot's file set: partitions encoded
         # under earlier snapshots count if their file is still in the table;
         # partitions of removed files do not
@@ -803,7 +828,7 @@ def encode_job(
         "enc_bytes": int(agg["enc"] or 0),
         "resumed_skipped": (
             len({p for p in done if p.split("#")[-1].split(".")[0] in cur_keys})
-            if mode == "files"
+            if mode in ("files", "narrow-ipc")
             else len(done)
         ),
         "mode": mode,

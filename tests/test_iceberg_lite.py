@@ -75,3 +75,28 @@ def test_snapshot_of_falls_back_to_listing_hash(spark, tmp_path):
     generate_tokens_df(spark, 50, 9, partitions=1).write.parquet(path)
     s = snapshot_of(path)
     assert len(s) == 16 and current_snapshot_id(path) is None
+
+
+def test_current_blocks_mirrors_evolving_input(spark, table, tmp_path):
+    """current_blocks filters history: after appends + re-snapshots the
+    decoded current blocks must equal the current input exactly (the
+    encode job's --verify correctness)."""
+    from parquet_python_spark.engine import current_blocks, decode_blocks
+
+    out = str(tmp_path / "enc")
+    write_snapshot(table)
+    encode_job(spark, table, out, mode="files")
+    generate_tokens_df(spark, 50, 8, partitions=1).write.mode("append").parquet(table)
+    write_snapshot(table)
+    encode_job(spark, table, out, mode="files")
+
+    blocks = current_blocks(spark, table, os.path.join(out, "blocks"), "files")
+    dec = decode_blocks(blocks)
+    src = spark.read.parquet(table)
+    assert dec.count() == src.count()
+    import pyspark.sql.functions as SF
+
+    h = lambda df: df.agg(  # noqa: E731
+        SF.sum(SF.hash("doc_id", "tokens", "n_tok", "source").cast("long"))
+    ).collect()[0][0]
+    assert h(dec) == h(src)

@@ -268,8 +268,9 @@ def main() -> None:
             ),
         }
     lo, hi = levels[0], levels[1] if len(levels) > 1 else levels[0]
-    eff_encode = pair_eff[f"{lo}->{hi}"]["encode"]
-    eff_decode = pair_eff[f"{lo}->{hi}"]["decode"]
+    headline = pair_eff.get(f"{lo}->{hi}", {"encode": None, "decode": None})
+    eff_encode = headline["encode"]
+    eff_decode = headline["decode"]
     top = levels[-1]
     # the single-thread pure-Python reference decode takes ~10 min to
     # measure honestly; it is input-independent, so reuse a prior
