@@ -104,11 +104,22 @@ def _rt_events_dict(spark, sf_dir):
 
 
 def _rt_embeddings_plain(spark, sf_dir):
+    # f32-list round-trip (D18 repetition levels / Arrow list offsets).
+    # Output is exploded to scalar rows — the driver's canonicalizer can't
+    # hash array columns; every decoded element is still compared.
     from parquet_python_spark.operators.generic_codec import roundtrip
 
     emb = _t(spark, sf_dir, "embeddings")
-    return roundtrip(
+    rt = roundtrip(
         emb, "vec_id", {"vec_id": "int", "embedding": "f32_list", "label": "int"}
+    )
+    return rt.select(
+        "vec_id", "label", F.posexplode("embedding").alias("idx", "val")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("val").cast("double").alias("val"),
     )
 
 
@@ -158,6 +169,75 @@ def _rt_documents_nulls(spark, sf_dir):
     )
 
 
+def _rt_part_flba(spark, sf_dir):
+    # D7 FIXED_LEN_BYTE_ARRAY (reference encoding.py:72-74): 16-byte md5
+    # digests as a fixed-width binary column; hex output so the driver's
+    # canonicalizer hashes strings, not bytes objects.
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.unhex(F.md5(F.col("p_partkey").cast("string"))).alias("digest"),
+    )
+    rt = roundtrip(part, "p_partkey", {"p_partkey": "int", "digest": "flba"})
+    return rt.select("p_partkey", F.lower(F.hex("digest")).alias("digest_hex"))
+
+
+def _rt_orders_int96(spark, sf_dir):
+    # D4 PLAIN int96 (reference encoding.py:51-54) mapped to timestamps:
+    # epoch millis -> Impala-layout (nanos-of-day, julian day) wire -> back.
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("long") * 86400000
+            + F.col("o_orderkey") % 86400000
+        ).alias("ts_millis"),
+    )
+    rt = roundtrip(
+        orders, "o_orderkey", {"o_orderkey": "int", "ts_millis": "int96_ts"}
+    )
+    return rt.select("o_orderkey", "ts_millis")
+
+
+def _rt_fixture_nation(spark, sf_dir):
+    # the reference's own binary fixture (test-data/nation.plain.parquet,
+    # the executable golden of test_read_support.py:109-204) through the
+    # engine's encode->decode; oracle is nation.csv inlined as VALUES.
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    raw = spark.read.parquet("/root/reference/test-data/nation.plain.parquet")
+    k, nm, rk, cm = raw.columns  # fixture names: nation_key/name/...
+    df = raw.select(
+        F.col(k).alias("n_nationkey"),
+        F.col(nm).cast("string").alias("n_name"),
+        F.col(rk).alias("n_regionkey"),
+        F.col(cm).cast("string").alias("n_comment"),
+    )
+    return roundtrip(
+        df,
+        "n_nationkey",
+        {
+            "n_nationkey": "int",
+            "n_name": "str",
+            "n_regionkey": "int",
+            "n_comment": "str",
+        },
+        n_parts=4,
+    )
+
+
+def _converted_bson(spark, sf_dir):
+    # D21 BSON converted type (reference converted_types.py:85-86):
+    # JSON -> BSON bytes -> parsed back to JSON through the engine decoder.
+    from parquet_python_spark.functions.converted import bson_from_json, bson_to_json
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = bson_from_json(F.to_json(F.struct("doc_id", "lang")))
+    return docs.select("doc_id", bson_to_json(payload).alias("bson_json"))
+
+
 def _describe_nation(spark, sf_dir):
     # S4 metadata dump re-expressed as a queryable table
     from parquet_python_spark.sources.sinks import describe_table
@@ -176,11 +256,17 @@ def _converted_types(spark, sf_dir):
 
     part = _t(spark, sf_dir, "part")
     signed = (F.col("p_partkey") % 100000 - 50000).cast("int")
+    # ts_val round-trips through TimestampType but is returned as epoch
+    # millis BIGINT: a timezone-independent canonical form both engines hash
+    # identically (Spark session-TZ timestamps vs DuckDB naive ones differ
+    # in representation even when the instant is the same).
     return part.select(
         "p_partkey",
         decimal_from_unscaled(F.col("p_partkey"), 18, 2).alias("dec_val"),
         date_from_days(F.col("p_size")).alias("date_val"),
-        timestamp_from_millis(F.col("p_partkey") * 86400000).alias("ts_val"),
+        F.unix_millis(timestamp_from_millis(F.col("p_partkey") * 86400000)).alias(
+            "ts_val"
+        ),
         uint32(signed).alias("uint_val"),
     )
 
@@ -278,12 +364,18 @@ def _multimodal_meta(spark, sf_dir):
 
 
 def _multimodal_features(spark, sf_dir):
+    # exploded to (doc_id, bucket_idx, value) scalar rows for the driver's
+    # canonicalizer; the deterministic fake extractor (byte histogram over
+    # the payload) is reproduced by the DuckDB oracle in SQL.
     from parquet_python_spark.operators.multimodal import (
         extract_features,
         with_media_column,
     )
 
-    return extract_features(with_media_column(_t(spark, sf_dir, "documents")))
+    feats = extract_features(with_media_column(_t(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bucket_idx", "value")
+    ).select("doc_id", F.col("bucket_idx").cast("long").alias("bucket_idx"), "value")
 
 
 # --------------------------------------------------- relational coverage
@@ -347,6 +439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_customer_doubles": _rt_customer_doubles,
         "rt_documents_nulls": _rt_documents_nulls,
         "rt_region_nation_supplier": _rt_region_nation_supplier,
+        "rt_part_flba": _rt_part_flba,
+        "rt_orders_int96": _rt_orders_int96,
+        "rt_fixture_nation": _rt_fixture_nation,
+        "converted_bson": _converted_bson,
         "describe_nation": _describe_nation,
         "converted_types": _converted_types,
         "dedup_exact": _dedup_exact,
@@ -386,7 +482,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rt_part_for": "SELECT p_partkey, p_size, p_brand FROM part",
         "rt_events_dict": "SELECT event_id, user_id, event_type FROM events",
-        "rt_embeddings_plain": "SELECT vec_id, embedding, label FROM embeddings",
+        "rt_embeddings_plain": (
+            "SELECT vec_id, label, "
+            "generate_subscripts(embedding, 1) - 1 AS idx, "
+            "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings"
+        ),
         "rt_customer_doubles": "SELECT c_custkey, c_acctbal FROM customer",
         "rt_region_nation_supplier": (
             "SELECT r_regionkey AS k, r_name AS name, 'region' AS tbl FROM region "
@@ -400,6 +500,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_n, "
             "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS chars_n "
             "FROM documents"
+        ),
+        "rt_part_flba": (
+            "SELECT p_partkey, md5(CAST(p_partkey AS VARCHAR)) AS digest_hex "
+            "FROM part"
+        ),
+        "rt_orders_int96": (
+            "SELECT o_orderkey, "
+            "CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) "
+            "* 86400000 + o_orderkey % 86400000 AS ts_millis FROM orders"
+        ),
+        "rt_fixture_nation": _nation_fixture_oracle(),
+        "converted_bson": (
+            "SELECT doc_id, '{\"doc_id\":' || doc_id || ',\"lang\":\"' || lang "
+            "|| '\"}' AS bson_json FROM documents"
         ),
         "describe_nation": (
             "SELECT col AS column_name, dtype, "
@@ -418,7 +532,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, "
             "CAST(CAST(p_partkey AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS dec_val, "
             "DATE '1970-01-01' + p_size AS date_val, "
-            "epoch_ms(p_partkey * 86400000) AS ts_val, "
+            "CAST(p_partkey * 86400000 AS BIGINT) AS ts_val, "
             "CASE WHEN (p_partkey % 100000 - 50000) < 0 "
             "THEN (p_partkey % 100000 - 50000) + 4294967296 "
             "ELSE (p_partkey % 100000 - 50000) END AS uint_val "
@@ -507,8 +621,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
         ),
         "agg_pricing_summary": (
+            # outer CAST: DuckDB widens sum(BIGINT) to HUGEINT, which would
+            # hash-differ from Spark's BIGINT even with identical values
             "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
-            "sum(CAST(l_quantity AS BIGINT)) AS sum_qty "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "join_customer_nation": (
@@ -519,11 +635,66 @@ def oracle_sql() -> dict[str, str]:
         "converted_date": (
             "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM orders"
         ),
-        # dedup_minhash / dedup_simhash / lang_id / near_dup_embeddings_lsh /
-        # ann_lsh_topk / multimodal_features: LSH banding, bit-sign
-        # fingerprints, regexp scoring, random-hyperplane bucketing and the
-        # stubbed feature extractor are not ANSI-SQL-expressible; the driver
-        # records the weaker rows-only check for them (their exact-result
-        # twins — dedup_exact, near_dup_embeddings, ann_cosine_topk,
-        # multimodal_meta — ARE oracle-checked).
+        "multimodal_features": (
+            # reproduces the deterministic fake extractor (byte-histogram
+            # folded to 16 buckets, normalized): documents text is ASCII in
+            # the test tables, so ascii(char) == utf-8 byte value
+            "WITH b AS (SELECT doc_id, "
+            "ascii(unnest(string_split(text, ''))) % 16 AS bkt FROM documents), "
+            "h AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY doc_id, bkt), "
+            "t AS (SELECT doc_id, count(*) AS tot FROM b GROUP BY doc_id), "
+            "grid AS (SELECT doc_id, CAST(i AS BIGINT) AS bucket_idx "
+            "FROM documents, range(16) AS r(i)) "
+            "SELECT g.doc_id, g.bucket_idx, "
+            "CASE WHEN t.tot IS NULL OR t.tot = 0 THEN 0.0 "
+            "ELSE CAST(COALESCE(h.c, 0) AS DOUBLE) / t.tot END AS value "
+            "FROM grid g LEFT JOIN t ON g.doc_id = t.doc_id "
+            "LEFT JOIN h ON h.doc_id = g.doc_id AND h.bkt = g.bucket_idx"
+        ),
+        "lang_id": (
+            # same argmax as Spark's array_max over (score, lang) structs:
+            # ties break to the lexicographically greatest language
+            "WITH s AS (SELECT doc_id, "
+            r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS s_en, "
+            r"len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de, "
+            r"len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr, "
+            r"len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS s_es "
+            "FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' "
+            "WHEN s_es >= s_en AND s_es >= s_de THEN 'es' "
+            "WHEN s_en >= s_de THEN 'en' "
+            "ELSE 'de' END AS lang_pred FROM s"
+        ),
+        "dedup_simhash": _simhash_oracle(),
+        # dedup_minhash / near_dup_embeddings_lsh / ann_lsh_topk: LSH banding
+        # and random-hyperplane bucketing are not ANSI-SQL-expressible; the
+        # driver records the weaker rows-only check for them, and exact
+        # numpy re-derivations in tests/test_pipeline_oracles.py assert the
+        # signatures/buckets value-for-value (their exact-result twins —
+        # dedup_exact, near_dup_embeddings, ann_cosine_topk — ARE
+        # oracle-checked here).
     }
+
+
+def _simhash_oracle() -> str:
+    from parquet_python_spark.operators.pipeline_ops import simhash_oracle_sql
+
+    return simhash_oracle_sql("documents")
+
+
+def _nation_fixture_oracle() -> str:
+    """nation.csv (the reference's golden, test-data/nation.csv) inlined as
+    VALUES — self-contained, no filesystem access needed in the oracle."""
+    import csv
+
+    with open("/root/reference/test-data/nation.csv") as f:
+        rows = list(csv.reader(f, delimiter="|"))
+    vals = ", ".join(
+        f"({int(r[0])}, '{r[1]}', {int(r[2])}, '{r[3]}')" for r in rows
+    )
+    return (
+        f"SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name, "
+        f"CAST(n_regionkey AS INTEGER) AS n_regionkey, n_comment FROM "
+        f"(VALUES {vals}) AS t(n_nationkey, n_name, n_regionkey, n_comment)"
+    )

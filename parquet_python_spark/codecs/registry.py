@@ -340,6 +340,31 @@ def _encode_column_inner(values, kind: str, codec: str | None):
         from .plain import encode_plain_double
 
         return "plain_f64", {}, encode_plain_double(values), {"n": len(values)}
+    if kind == "flba":
+        # D7 FIXED_LEN_BYTE_ARRAY (reference encoding.py:72-74): decimals,
+        # UUIDs, md5 digests.  Width recorded in params.
+        from .plain import encode_plain_flba
+
+        if isinstance(values, np.ndarray) and values.dtype == np.uint8:
+            width = values.shape[1] if values.ndim == 2 else 0
+            n = values.shape[0] if values.ndim == 2 else 0
+        else:
+            n = len(values)
+            width = len(values[0]) if n else 0
+        return (
+            "plain_flba",
+            {"width": int(width)},
+            encode_plain_flba(values, width),
+            {"n": n},
+        )
+    if kind == "int96_ts":
+        # D4 PLAIN int96 mapped to timestamps (reference encoding.py:51-54):
+        # values are epoch millis int64; wire format is Impala-layout
+        # (nanos-of-day <q, julian day <i), 12 bytes per value.
+        from .plain import int96_from_epoch_millis
+
+        vals = np.asarray(values, dtype=np.int64)
+        return "int96", {}, int96_from_epoch_millis(vals), {"n": len(vals)}
     raise KeyError(f"unknown kind {kind}")
 
 
@@ -357,6 +382,16 @@ def decode_column(codec: str, payload: bytes, n: int, params: dict, kind: str = 
         from .plain import decode_plain_double
 
         return np.asarray(decode_plain_double(payload, n))
+    if kind == "flba":
+        from .plain import decode_plain_flba, flba_matrix_to_bytes_list
+
+        return flba_matrix_to_bytes_list(
+            decode_plain_flba(payload, n, int(params["width"]))
+        )
+    if kind == "int96_ts":
+        from .plain import epoch_millis_from_int96
+
+        return epoch_millis_from_int96(payload, n)
     raise KeyError(f"unknown kind {kind}")
 
 

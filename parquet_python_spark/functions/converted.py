@@ -65,3 +65,118 @@ def json_field(col: Column, path: str) -> Column:
     """JSON: parse + field access (converted_types.py:83-84).
     Catalyst prunes the parse to the accessed path."""
     return F.get_json_object(col, path)
+
+
+# ----------------------------------------------------------------- BSON
+
+def _bson_read_doc(mv: memoryview, pos: int) -> tuple[dict, int]:
+    """Minimal BSON document parser (public spec, bsonspec.org §spec.bson):
+    the element types the reference's optional `bson` dependency would
+    produce for parquet BSON columns (converted_types.py:85-86)."""
+    import struct
+
+    doc_len = struct.unpack_from("<i", mv, pos)[0]
+    end = pos + doc_len - 1  # last byte is the \x00 terminator
+    pos += 4
+    out: dict = {}
+    while pos < end:
+        etype = mv[pos]
+        pos += 1
+        zero = bytes(mv[pos:end]).index(b"\x00")
+        name = bytes(mv[pos : pos + zero]).decode()
+        pos += zero + 1
+        if etype == 0x01:  # double
+            out[name] = struct.unpack_from("<d", mv, pos)[0]
+            pos += 8
+        elif etype == 0x02:  # string
+            n = struct.unpack_from("<i", mv, pos)[0]
+            out[name] = bytes(mv[pos + 4 : pos + 4 + n - 1]).decode()
+            pos += 4 + n
+        elif etype in (0x03, 0x04):  # embedded document / array
+            sub, pos = _bson_read_doc(mv, pos)
+            out[name] = list(sub.values()) if etype == 0x04 else sub
+        elif etype == 0x08:  # bool
+            out[name] = bool(mv[pos])
+            pos += 1
+        elif etype == 0x0A:  # null
+            out[name] = None
+        elif etype == 0x10:  # int32
+            out[name] = struct.unpack_from("<i", mv, pos)[0]
+            pos += 4
+        elif etype in (0x12, 0x09):  # int64 / UTC datetime millis
+            out[name] = struct.unpack_from("<q", mv, pos)[0]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported BSON element type 0x{etype:02x}")
+    return out, end + 1
+
+
+def bson_loads(buf: bytes) -> dict:
+    """bytes -> dict (the reference's bson.loads / BSON.decode analog)."""
+    doc, _ = _bson_read_doc(memoryview(buf), 0)
+    return doc
+
+
+def bson_dumps(doc: dict) -> bytes:
+    """dict -> BSON bytes (test/fixture helper; same element subset)."""
+    import struct
+
+    body = b""
+    for name, v in doc.items():
+        key = name.encode() + b"\x00"
+        if isinstance(v, bool):
+            body += b"\x08" + key + (b"\x01" if v else b"\x00")
+        elif isinstance(v, float):
+            body += b"\x01" + key + struct.pack("<d", v)
+        elif isinstance(v, str):
+            s = v.encode()
+            body += b"\x02" + key + struct.pack("<i", len(s) + 1) + s + b"\x00"
+        elif v is None:
+            body += b"\x0a" + key
+        elif isinstance(v, int):
+            if -(2**31) <= v < 2**31:
+                body += b"\x10" + key + struct.pack("<i", v)
+            else:
+                body += b"\x12" + key + struct.pack("<q", v)
+        elif isinstance(v, dict):
+            body += b"\x03" + key + bson_dumps(v)
+        elif isinstance(v, (list, tuple)):
+            body += b"\x04" + key + bson_dumps({str(i): x for i, x in enumerate(v)})
+        else:
+            raise TypeError(f"unsupported BSON value type {type(v)}")
+    return struct.pack("<i", len(body) + 5) + body + b"\x00"
+
+
+def bson_to_json(col: Column) -> Column:
+    """BSON binary column -> JSON string (pandas UDF; per-document parsing
+    is inherent to the format — a rare legacy type, not a hot path; the
+    reference's own conversion is per-value too, converted_types.py:85-86)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def conv(s):
+        return s.map(
+            lambda b: None
+            if b is None
+            else json.dumps(bson_loads(bytes(b)), separators=(",", ":"))
+        )
+
+    conv.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(conv, "string")(col)
+
+
+def bson_from_json(col: Column) -> Column:
+    """JSON string column -> BSON bytes (fixture/ingest path; pairs with
+    bson_to_json for round-trip coverage of the BSON converted type)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def conv(s):
+        return s.map(lambda j: None if j is None else bson_dumps(json.loads(j)))
+
+    conv.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(conv, "binary")(col)

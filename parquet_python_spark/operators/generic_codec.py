@@ -52,6 +52,10 @@ _SCALAR_KIND_ENC = {
     "str": ("str", lambda s: s.tolist()),
     "float64": ("float64", lambda s: s.to_numpy(dtype=np.float64)),
     "float32": ("float32", lambda s: s.to_numpy(dtype=np.float32)),
+    # D7 FIXED_LEN_BYTE_ARRAY: a BinaryType column of equal-length values
+    "flba": ("flba", lambda s: [bytes(v) for v in s.tolist()]),
+    # D4 int96 timestamps: epoch-millis int64 -> Impala-layout 12-byte wire
+    "int96_ts": ("int96_ts", lambda s: s.to_numpy(dtype=np.int64)),
 }
 
 
@@ -116,7 +120,11 @@ def encode_df(
     forced_codecs = forced_codecs or {}
     cols = [key_col] + [c for c in col_kinds if c != key_col]
     work = df.select(*cols).withColumn(
-        "part_id", F.pmod(F.crc32(F.col(key_col).cast("string")), F.lit(n_parts)).cast("int")
+        "part_id",
+        F.pmod(
+            F.crc32(F.coalesce(F.col(key_col).cast("string"), F.lit(""))),
+            F.lit(n_parts),
+        ).cast("int"),
     )
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -105,35 +105,63 @@ def dedup_minhash_candidates(
     return pairs
 
 
-def dedup_simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """SimHash fingerprints: sign-sum of hashed token vectors (pandas UDF)."""
+SIMHASH_BITS = 60  # 15 md5 hex nibbles — keeps the fingerprint a positive BIGINT
+_HEX = "0123456789abcdef"
 
-    @pandas_udf(T.LongType())
-    def simhash(text: pd.Series) -> pd.Series:
-        out = np.empty(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            words = (t or "").lower().split()
-            if not words:
-                out[i] = 0
-                continue
-            # crc32-derived 64-bit hashes: process-independent (python's
-            # builtin hash() is salted by PYTHONHASHSEED — not reproducible)
-            import zlib
 
-            hs = np.array(
-                [
-                    (zlib.crc32(w.encode()) << 32) | zlib.crc32(w.encode()[::-1])
-                    for w in words
-                ],
-                dtype=np.uint64,
-            )
-            bitmat = (hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-            sums = bitmat.sum(axis=0)
-            fp = ((sums * 2 > len(words)).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum()
-            out[i] = np.int64(fp.astype(np.uint64).view(np.int64))
-        return pd.Series(out)
+def dedup_simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprints, fully JVM-side (no Python in the hot path).
 
-    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    Word hash = md5 hex (cross-engine deterministic); bit j of a word is bit
+    (3 - j%4) of hex nibble j//4.  The per-bit sums are a single wide
+    aggregation (one shuffle on doc_id, map-side partial agg), and the
+    fingerprint sets bit j when the majority of words have it set — the
+    standard SimHash majority vote (Charikar 2002).  60 bits so the result
+    stays a positive int64 on every engine (DuckDB oracle included)."""
+    w = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    w = w.select("doc_id", F.md5("word").alias("h"))
+    aggs = [F.count("*").alias("n_words")]
+    for j in range(bits):
+        nib = F.instr(F.lit(_HEX), F.substring("h", j // 4 + 1, 1)) - 1
+        bit = F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit).alias(f"b{j}"))
+    agg = w.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(
+            F.col(f"b{j}") * 2 > F.col("n_words"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    fps = agg.select("doc_id", fp.alias("simhash"))
+    # docs with no words (empty text) fingerprint to 0, keeping row parity
+    return (
+        docs.select("doc_id")
+        .join(fps, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
+
+
+def simhash_oracle_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
+    """DuckDB SQL computing the identical fingerprint (shared formula)."""
+    sums = ", ".join(
+        f"sum(((instr('{_HEX}', substr(h, {j // 4 + 1}, 1)) - 1) "
+        f">> {3 - j % 4}) & 1) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN 2 * b{j} > n_words THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return (
+        f"WITH w AS (SELECT doc_id, md5(word) AS h FROM ("
+        f"SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word "
+        f"FROM {table}) WHERE word <> ''), "
+        f"a AS (SELECT doc_id, count(*) AS n_words, {sums} FROM w GROUP BY doc_id) "
+        f"SELECT d.doc_id, COALESCE(CAST({fp} AS BIGINT), 0) AS simhash "
+        f"FROM {table} d LEFT JOIN a ON d.doc_id = a.doc_id"
+    )
 
 
 # -------------------------------------------------------------- text stats

@@ -1,0 +1,188 @@
+"""D7 FIXED_LEN_BYTE_ARRAY, D4 int96, and BSON converted type.
+
+Golden semantics from the reference:
+  - FLBA: encoding.py:72-74 (raw fixed_length bytes, no prefixes)
+  - int96: encoding.py:51-54 (struct '<qi' pairs, value = q << 32 | i)
+  - BSON: converted_types.py:85-86 (bytes -> dict via the bson package)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+
+# ----------------------------------------------------------------- FLBA D7
+
+def test_flba_roundtrip_bytes_list():
+    from parquet_python_spark.codecs.plain import (
+        decode_plain_flba,
+        encode_plain_flba,
+        flba_matrix_to_bytes_list,
+    )
+
+    vals = [bytes([i, i + 1, i + 2, i + 3]) for i in range(0, 40, 4)]
+    payload = encode_plain_flba(vals, 4)
+    assert payload == b"".join(vals)  # reference wire: raw bytes, no prefixes
+    mat = decode_plain_flba(payload, len(vals), 4)
+    assert flba_matrix_to_bytes_list(mat) == vals
+
+
+def test_flba_width_mismatch_raises():
+    from parquet_python_spark.codecs.plain import encode_plain_flba
+
+    with pytest.raises(ValueError):
+        encode_plain_flba([b"abc", b"de"], 3)
+
+
+def test_flba_registry_roundtrip():
+    from parquet_python_spark.codecs import decode_column, encode_column
+
+    vals = [bytes.fromhex(f"{i:032x}") for i in range(100)]  # 16-byte uuids
+    codec, params, payload, stats = encode_column(vals, "flba")
+    assert codec == "plain_flba" and params["width"] == 16
+    assert len(payload) == 1600
+    out = decode_column(codec, payload, 100, params, "flba")
+    assert out == vals
+
+
+def test_flba_empty():
+    from parquet_python_spark.codecs import decode_column, encode_column
+
+    codec, params, payload, _ = encode_column([], "flba")
+    assert decode_column(codec, payload, 0, params, "flba") == []
+
+
+# ---------------------------------------------------------------- int96 D4
+
+def test_int96_reference_golden():
+    """Byte-for-byte parity with the reference decoder formula: build the
+    stream with struct '<qi' exactly as the reference reads it."""
+    from parquet_python_spark.codecs.plain import decode_plain_int96
+
+    pairs = [(0, 0), (1, 5), (2**40, 123456), (-3, 7), (86399999999999, 2440588)]
+    data = b"".join(struct.pack("<qi", q, i) for q, i in pairs)
+    expected = [q << 32 | i for q, i in pairs]  # encoding.py:54 verbatim
+    assert decode_plain_int96(data, len(pairs)) == expected
+
+
+def test_int96_encode_decode_roundtrip():
+    from parquet_python_spark.codecs.plain import (
+        decode_plain_int96,
+        encode_plain_int96,
+    )
+
+    vals = [0, 5, 1 << 62, (86399999999999 << 32) | 2440588]
+    assert decode_plain_int96(encode_plain_int96(vals), len(vals)) == vals
+
+
+def test_int96_epoch_millis_vectorized():
+    from parquet_python_spark.codecs.plain import (
+        epoch_millis_from_int96,
+        int96_from_epoch_millis,
+    )
+
+    millis = np.array(
+        [0, 1, 86_400_000, 1_700_000_000_123, -86_400_000, -1], dtype=np.int64
+    )
+    data = int96_from_epoch_millis(millis)
+    assert len(data) == 12 * len(millis)
+    np.testing.assert_array_equal(epoch_millis_from_int96(data, len(millis)), millis)
+
+
+def test_int96_wire_is_impala_layout():
+    """Epoch 1970-01-01T00:00:00 must encode as (nanos=0, julian=2440588)."""
+    from parquet_python_spark.codecs.plain import int96_from_epoch_millis
+
+    data = int96_from_epoch_millis(np.array([0], dtype=np.int64))
+    q, i = struct.unpack("<qi", data)
+    assert (q, i) == (0, 2440588)
+
+
+def test_int96_registry_roundtrip():
+    from parquet_python_spark.codecs import decode_column, encode_column
+
+    millis = np.arange(0, 10**12, 10**10, dtype=np.int64) + 123
+    codec, params, payload, _ = encode_column(millis, "int96_ts")
+    assert codec == "int96" and len(payload) == 12 * len(millis)
+    out = decode_column(codec, payload, len(millis), params, "int96_ts")
+    np.testing.assert_array_equal(out, millis)
+
+
+# ------------------------------------------------------------------- BSON
+
+def test_bson_roundtrip_scalars():
+    from parquet_python_spark.functions.converted import bson_dumps, bson_loads
+
+    doc = {
+        "s": "hello",
+        "i": 42,
+        "big": 2**40,
+        "d": 3.5,
+        "t": True,
+        "f": False,
+        "z": None,
+    }
+    assert bson_loads(bson_dumps(doc)) == doc
+
+
+def test_bson_nested_and_array():
+    from parquet_python_spark.functions.converted import bson_dumps, bson_loads
+
+    doc = {"outer": {"inner": [1, "two", 3.0]}, "n": -7}
+    assert bson_loads(bson_dumps(doc)) == doc
+
+
+def test_bson_known_bytes():
+    """Hand-built golden: {'a': 1} per the public BSON spec."""
+    from parquet_python_spark.functions.converted import bson_loads
+
+    blob = b"\x0c\x00\x00\x00\x10a\x00\x01\x00\x00\x00\x00"
+    assert bson_loads(blob) == {"a": 1}
+
+
+def test_bson_to_json_udf(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.functions.converted import bson_dumps, bson_to_json
+
+    docs = [{"k": i, "name": f"row{i}"} for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, bson_dumps(d)) for i, d in enumerate(docs)], "id long, payload binary"
+    )
+    out = {
+        r["id"]: r["j"]
+        for r in df.select("id", bson_to_json(F.col("payload")).alias("j")).collect()
+    }
+    assert out[3] == '{"k":3,"name":"row3"}'
+    assert len(out) == 5
+
+
+# ---------------------------------------------- Spark-level flba/int96 rt
+
+def test_generic_codec_flba_int96_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id"),
+            F.unhex(F.md5(F.col("id").cast("string"))).alias("digest"),
+            (F.col("id") * 86_400_000 + 123).alias("ts_millis"),
+        )
+    )
+    rt = roundtrip(
+        df,
+        "id",
+        {"id": "int", "digest": "flba", "ts_millis": "int96_ts"},
+        n_parts=4,
+    )
+    got = {r["id"]: (bytes(r["digest"]), r["ts_millis"]) for r in rt.collect()}
+    exp = {
+        r["id"]: (bytes(r["digest"]), r["ts_millis"]) for r in df.collect()
+    }
+    assert got == exp
