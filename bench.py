@@ -102,12 +102,23 @@ def main() -> None:
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
     }
     # attach the authoritative scaling-efficiency measurement (N vs 4N cores,
-    # pinned CPU sets, identical split plans — tools/bench_scaling.py)
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH", "scaling.json")
+    # pinned CPU sets, identical split plans — tools/bench_scaling.py), with
+    # explicit provenance: if any engine source changed after scaling.json
+    # was produced, the numbers are marked stale rather than passed off as
+    # this run's measurements.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scaling_path = os.path.join(repo, "BENCH", "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             sc = json.load(f)
+        src_mtime = 0.0
+        for root, _dirs, names in os.walk(os.path.join(repo, "parquet_python_spark")):
+            for name in names:
+                if name.endswith(".py"):
+                    src_mtime = max(src_mtime, os.path.getmtime(os.path.join(root, name)))
+        sc_mtime = os.path.getmtime(scaling_path)
+        out["scaling_from_cached_json"] = True
+        out["scaling_stale"] = bool(src_mtime > sc_mtime)
         out["scaling_efficiency_encode"] = sc.get("scaling_efficiency_encode")
         out["scaling_efficiency_decode"] = sc.get("scaling_efficiency_decode")
         out["pair_efficiencies"] = sc.get("pair_efficiencies")

@@ -116,12 +116,22 @@ def pack_bits_lsb(values: np.ndarray, width: int) -> bytes:
     return b"".join(parts)
 
 
-def unpack_bits_lsb(data: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
-    """Inverse of :func:`pack_bits_lsb`; returns int64 array of ``count`` values."""
+def unpack_bits_lsb(
+    data: bytes | np.ndarray, width: int, count: int, out_dtype=np.int64
+) -> np.ndarray:
+    """Inverse of :func:`pack_bits_lsb`.
+
+    ``out_dtype``: np.int64 (default) or np.int32 (valid when width <= 31) —
+    the narrow output halves the result's memory writes AND all downstream
+    traffic, which is what the 8->32-worker decode scaling bottlenecks on
+    (one box, shared bandwidth).  The result is a zero-copy signed view of
+    the unpack buffer — no trailing astype pass."""
+    small = np.dtype(out_dtype).itemsize == 4 and width <= 31
+    final = np.int32 if small else np.int64
     if count == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=final)
     if width == 0:
-        return np.zeros(count, dtype=np.int64)
+        return np.zeros(count, dtype=final)
     raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
     if width > 57:
         bits = np.unpackbits(raw, bitorder="little", count=count * width)
@@ -138,12 +148,12 @@ def unpack_bits_lsb(data: bytes | np.ndarray, width: int, count: int) -> np.ndar
     block[:, :width] = raw[:need].reshape(groups, width)
     W = block.view(np.uint64)
     mask = np.uint64((1 << width) - 1)
-    out = np.empty((groups, 8), dtype=np.uint64)
+    out = np.empty((groups, 8), dtype=np.uint32 if small else np.uint64)
     for j in range(8):
         bitpos = j * width
         k, shift = bitpos >> 6, bitpos & 63
         v = W[:, k] >> np.uint64(shift)
         if shift and shift + width > 64:
             v = v | (W[:, k + 1] << np.uint64(64 - shift))
-        out[:, j] = v & mask
-    return out.reshape(-1)[:count].astype(np.int64)
+        out[:, j] = v & mask  # store downcasts to the narrow buffer
+    return out.reshape(-1)[:count].view(final)

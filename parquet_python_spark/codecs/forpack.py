@@ -46,8 +46,8 @@ def encode_bitpack(values: np.ndarray) -> tuple[bytes, dict]:
     return pack_bits_lsb(vals, width), {"width": width}
 
 
-def decode_bitpack(data: bytes, n: int, params: dict) -> np.ndarray:
-    return unpack_bits_lsb(data, params["width"], n)
+def decode_bitpack(data: bytes, n: int, params: dict, out_dtype=np.int64) -> np.ndarray:
+    return unpack_bits_lsb(data, params["width"], n, out_dtype)
 
 
 def encode_for(values: np.ndarray) -> tuple[bytes, dict]:
@@ -63,8 +63,18 @@ def encode_for(values: np.ndarray) -> tuple[bytes, dict]:
     return pack_bits_lsb(shifted, width), {"ref": ref, "width": width}
 
 
-def decode_for(data: bytes, n: int, params: dict) -> np.ndarray:
-    return unpack_bits_lsb(data, params["width"], n) + params["ref"]
+def decode_for(data: bytes, n: int, params: dict, out_dtype=np.int64) -> np.ndarray:
+    ref = params["ref"]
+    width = params["width"]
+    # narrow arithmetic only when ref and ref+2^width both fit int32
+    if (
+        np.dtype(out_dtype).itemsize == 4
+        and width <= 31
+        and -(2**31) <= ref
+        and ref + (1 << width) < 2**31
+    ):
+        return unpack_bits_lsb(data, width, n, np.int32) + np.int32(ref)
+    return unpack_bits_lsb(data, width, n) + ref
 
 
 def _zigzag(vals: np.ndarray) -> np.ndarray:

@@ -167,23 +167,31 @@ def _enc_int(vals: np.ndarray, codec: str) -> tuple[dict, bytes]:
     raise KeyError(f"unknown int codec {codec}")
 
 
-def _dec_int(data: bytes, n: int, codec: str, params: dict) -> np.ndarray:
+def _dec_int(
+    data: bytes, n: int, codec: str, params: dict, prefer32: bool = False
+) -> np.ndarray:
+    """prefer32: return int32 when the codec can produce it without an
+    extra pass (token columns are int32 — the wide int64 default doubles
+    every downstream memory touch, the 32-worker scaling bottleneck)."""
     if codec == "plain64":
         return np.asarray(decode_plain_int64(data, n), dtype=np.int64)
     if codec == "plain32":
-        return np.asarray(decode_plain_int32(data, n), dtype=np.int64)
+        arr = decode_plain_int32(data, n)  # zero-copy '<i4' view
+        return np.asarray(arr) if prefer32 else np.asarray(arr, dtype=np.int64)
+    out_dtype = np.int32 if prefer32 else np.int64
     if codec == "bitpack":
-        return decode_bitpack(data, n, params)
+        return decode_bitpack(data, n, params, out_dtype)
     if codec == "for":
-        return decode_for(data, n, params)
+        return decode_for(data, n, params, out_dtype)
     if codec == "delta":
         return decode_delta(data, n, params)
     if codec == "rle":
-        return decode_hybrid(data, params["width"], n)
+        return decode_hybrid(data, params["width"], n, out_dtype)
     if codec == "dict":
-        return np.asarray(
-            decode_dict(data, n, params.get("ptype", "int32")), dtype=np.int64
-        )
+        vals = decode_dict(data, n, params.get("ptype", "int32"))
+        if prefer32 and vals.dtype == np.int32:
+            return vals
+        return np.asarray(vals, dtype=np.int64)
     if codec == "fsst":
         return decode_fsst(data, n, params)
     raise KeyError(f"unknown int codec {codec}")
@@ -368,10 +376,13 @@ def _encode_column_inner(values, kind: str, codec: str | None):
     raise KeyError(f"unknown kind {kind}")
 
 
-def decode_column(codec: str, payload: bytes, n: int, params: dict, kind: str = "int"):
+def decode_column(
+    codec: str, payload: bytes, n: int, params: dict, kind: str = "int",
+    prefer32: bool = False,
+):
     payload = unwrap_outer(payload, params)
     if kind == "int":
-        return _dec_int(payload, n, codec, params)
+        return _dec_int(payload, n, codec, params, prefer32)
     if kind == "str":
         return _dec_str(payload, n, codec, params)
     if kind == "float32":

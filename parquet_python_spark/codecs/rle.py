@@ -100,18 +100,51 @@ def encode_hybrid(values: np.ndarray, width: int) -> bytes:
     return b"".join(out)
 
 
-def decode_hybrid(data: bytes, width: int, n: int | None = None) -> np.ndarray:
+def decode_hybrid(
+    data: bytes, width: int, n: int | None = None, out_dtype=np.int64
+) -> np.ndarray:
     """Decode a raw hybrid run stream; truncate to ``n`` values when given.
 
     Mirrors the reference's loop (encoding.py:231-236) with bulk numpy run
     expansion; the final-bit-packed-run zero overflow is cut by ``n``
-    (reference: __init__.py:366-368).
+    (reference: __init__.py:366-368).  When ``n`` is known the runs expand
+    directly into one preallocated result (no per-run temporaries, no final
+    concatenate pass) — the decode path's memory traffic is the 32-worker
+    scaling bottleneck.  out_dtype=np.int32 (valid when width <= 31) halves
+    that traffic again.
     """
-    chunks: list[np.ndarray] = []
+    small = np.dtype(out_dtype).itemsize == 4 and width <= 31
+    dtype = np.int32 if small else np.int64
     pos = 0
     total = len(data)
-    produced = 0
-    while pos < total and (n is None or produced < n):
+    if n is None:
+        # unknown length: accumulate chunks (cold path — engine callers
+        # always know n from the blocks metadata)
+        chunks: list[np.ndarray] = []
+        while pos < total:
+            header, pos = decode_varint(data, pos)
+            if header & 1:
+                groups = header >> 1
+                nbytes = groups * width
+                chunks.append(
+                    unpack_bits_lsb(
+                        np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=pos),
+                        width, groups * 8, dtype,
+                    )
+                )
+                pos += nbytes
+            else:
+                count = header >> 1
+                nbytes = (width + 7) // 8
+                raw = data[pos : pos + nbytes].ljust(4, b"\x00")
+                value = int.from_bytes(raw, "little", signed=True)
+                pos += nbytes
+                chunks.append(np.full(count, value, dtype=dtype))
+        return np.concatenate(chunks) if chunks else np.empty(0, dtype=dtype)
+
+    res = np.empty(n, dtype=dtype)
+    p = 0
+    while pos < total and p < n:
         header, pos = decode_varint(data, pos)
         if header & 1:
             groups = header >> 1
@@ -119,23 +152,21 @@ def decode_hybrid(data: bytes, width: int, n: int | None = None) -> np.ndarray:
             nbytes = groups * width
             chunk = unpack_bits_lsb(
                 np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=pos),
-                width,
-                count,
+                width, count, dtype,
             )
             pos += nbytes
+            take = min(count, n - p)
+            res[p : p + take] = chunk[:take]
         else:
             count = header >> 1
             nbytes = (width + 7) // 8
             raw = data[pos : pos + nbytes].ljust(4, b"\x00")
             value = int.from_bytes(raw, "little", signed=True)
             pos += nbytes
-            chunk = np.full(count, value, dtype=np.int64)
-        chunks.append(chunk)
-        produced += len(chunk)
-    if not chunks:
-        return np.empty(0, dtype=np.int64)
-    res = np.concatenate(chunks)
-    return res[:n] if n is not None else res
+            take = min(count, n - p)
+            res[p : p + take] = value  # broadcast fill, no np.full temp
+        p += take
+    return res[:p] if p < n else res
 
 
 def hybrid_size_estimate(vals: np.ndarray, width: int) -> int:

@@ -135,11 +135,22 @@ def with_partition_id(df: DataFrame, salt_map: dict) -> DataFrame:
 
     Salt = crc32(doc_id) % n_salts(source) — content-addressed, so the
     assignment is stable across reruns/parallelism (checkpoint-safe).
+
+    The salt counts join in via a BROADCAST map join, not a chained
+    per-source F.when expression: a when-chain is an expression tree that
+    grows with source cardinality (at 10^4 sources, a plan bomb); the
+    broadcast hash join is O(1) plan size at any cardinality.
     """
-    salt_expr = F.lit(1)
-    for src, n in salt_map.items():
-        salt_expr = F.when(F.col("source") == src, F.lit(n)).otherwise(salt_expr)
-    df = df.withColumn("salt", F.pmod(F.crc32(F.col("doc_id")), salt_expr).cast("int"))
+    spark = df.sparkSession
+    salt_df = spark.createDataFrame(
+        [(str(s), int(n)) for s, n in salt_map.items()],
+        "source string, n_salts int",
+    )
+    df = df.join(F.broadcast(salt_df), "source", "left")
+    df = df.withColumn(
+        "salt",
+        F.pmod(F.crc32(F.col("doc_id")), F.coalesce("n_salts", F.lit(1))).cast("int"),
+    ).drop("n_salts")
     return df.withColumn(
         "part_id", F.concat_ws("#", F.col("source"), F.col("salt").cast("string"))
     )
@@ -289,12 +300,17 @@ def encode_table_narrow(
 
 
 def file_key(path: str) -> str:
-    """Content-addressed file id (64-bit hash of name:size) — stable across
-    snapshots and listing order; keys incremental encode + resume in files
-    mode.  64 bits, not crc32: at ~10^5 files a 32-bit key has ~birthday-odds
-    of a collision, which would silently skip a file."""
+    """Content-addressed file id (64-bit hash of name:size:mtime_ns) —
+    stable across snapshots and listing order; keys incremental encode +
+    resume in files mode.  mtime_ns is folded in so a file rewritten IN
+    PLACE with unchanged name+size gets a new key and re-encodes (Iceberg
+    data files are immutable, but the bare-parquet-dir fallback makes no
+    such promise).  64 bits, not crc32: at ~10^5 files a 32-bit key has
+    ~birthday-odds of a collision, which would silently skip a file."""
     st = os.stat(path)
-    h = hashlib.sha1(f"{os.path.basename(path)}:{st.st_size}".encode())
+    h = hashlib.sha1(
+        f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    )
     return f"f{h.hexdigest()[:16]}"
 
 
@@ -352,11 +368,11 @@ def encode_table_files(
     pattern for UDF-heavy Spark pipelines) eliminates both extra passes; at
     32 workers on one box that traffic is the scaling bottleneck.  Spark
     still owns scheduling/retries; files on shared storage make this
-    cluster-valid.  part_id = f"{source}#f{crc32(name:size)}" — content-
-    addressed per FILE, so resume keys survive re-snapshots: when an
-    Iceberg-lite table gains files and is re-snapshotted, only the new
-    files encode (incremental processing; Iceberg data files are
-    immutable).
+    cluster-valid.  part_id = f"{source}#{file_key(path)}" (sha1 of
+    name:size:mtime_ns) — content-addressed per FILE, so resume keys
+    survive re-snapshots: when an Iceberg-lite table gains files and is
+    re-snapshotted, only the new files encode (incremental processing),
+    and an in-place rewrite changes the key and re-encodes.
     """
     files = files if files is not None else resolve_input_files(input_path)
     tasks = _plan_file_tasks(files, max_task_bytes)
@@ -408,6 +424,7 @@ def encode_table_files_native(
     files = files if files is not None else resolve_input_files(input_path)
     os.makedirs(blocks_dir, exist_ok=True)
     tasks = _plan_file_tasks(files, max_task_bytes)
+    _remove_stale_generations(blocks_dir, tasks)
     paths_df = spark.createDataFrame(
         tasks, "task_key string, path string, rg_start int, rg_end int"
     ).repartition(max(len(tasks), 1), "task_key")
@@ -452,6 +469,29 @@ def encode_table_files_native(
         [f for f in BLOCKS_SCHEMA.fields if f.name != "payload"]
     )
     return paths_df.mapInArrow(enc, schema=meta_schema)
+
+
+def _remove_stale_generations(blocks_dir: str, tasks: list[tuple]) -> None:
+    """Drop block files from an older task-boundary generation.
+
+    Task keys embed max_task_bytes-dependent row-group boundaries
+    (fk vs fk.rgN); re-running encode with a different max_task_bytes
+    re-encodes under new keys while the old blk-<fk>*.parquet files remain,
+    and current_blocks' file-key-prefix filter would double-count those
+    rows.  Driver-side (race-free: before any task runs): for every file
+    key in the CURRENT plan, delete blk files whose task key is not in the
+    plan.  Blocks of files no longer in the input are untouched (history)."""
+    planned = {t[0] for t in tasks}
+    fks = {k.split(".")[0] for k in planned}
+    for name in os.listdir(blocks_dir):
+        if not (name.startswith("blk-") and name.endswith(".parquet")):
+            continue
+        key = name[len("blk-") : -len(".parquet")]
+        if key.split(".")[0] in fks and key not in planned:
+            try:
+                os.remove(os.path.join(blocks_dir, name))
+            except OSError:
+                pass
 
 
 def _plan_file_tasks(files: list[str], max_task_bytes: int) -> list[tuple]:
@@ -543,11 +583,11 @@ def _decode_part_table(tbl) -> "pa.Table":
         if zlib.crc32(row["payload"]) != int(row["checksum"]):
             raise ValueError(f"checksum mismatch for {row['part_id']}/{col}")
 
-    def _int(col):
+    def _int(col, prefer32=False):
         r = by_col[col]
         return decode_column(
             r["codec"], r["payload"], int(r["n_values"]),
-            params_from_json(r["params"]), "int",
+            params_from_json(r["params"]), "int", prefer32=prefer32,
         )
 
     def _str(col):
@@ -558,7 +598,18 @@ def _decode_part_table(tbl) -> "pa.Table":
         )
 
     n_tok = _int("n_tok")
-    flat = _int("tokens").astype(np.int32)
+    # prefer32: the kernels emit int32 directly (tokens ARE int32) — no
+    # widen-to-int64-then-astype double pass; asarray is a no-op then
+    flat = np.asarray(_int("tokens", prefer32=True), dtype=np.int32)
+    total_tok = int(np.asarray(n_tok, dtype=np.int64).sum())
+    if total_tok >= 2**31:
+        # int32 list offsets would wrap silently past 2^31 tokens in one
+        # part; task planning bounds part size well below this, so reaching
+        # here means a pathological input — fail loudly, never corrupt
+        raise ValueError(
+            f"partition holds {total_tok} tokens (>= 2^31); "
+            "re-encode with a smaller max_task_bytes"
+        )
     offsets = np.zeros(n_rows + 1, dtype=np.int32)
     np.cumsum(n_tok, out=offsets[1:])
     tokens = pa.ListArray.from_arrays(
@@ -666,7 +717,7 @@ def snapshot_of(path: str) -> str:
             if not name.endswith(".parquet"):
                 continue
             st = os.stat(os.path.join(path, name))
-            h.update(f"{name}:{st.st_size}".encode())
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
     except OSError:
         pass
     return h.hexdigest()[:16]

@@ -4,7 +4,8 @@ Extends the engine beyond the tokens schema: any table becomes a blocks
 table (one row per partition x column) and back, using the same codec
 registry + auto-selector.  This is what lets the engine cover the
 reference's full read path on its own fixtures (ints, strings, doubles,
-arrays) — SURVEY.md §2.3 D1-D22 re-expressed Spark-first.
+arrays, fixed-width, int96) — SURVEY.md §2.3 D1-D22 re-expressed
+Spark-first.
 
 Column kinds:
     int      — any integral Spark type (encoded as int64 chunks)
@@ -13,11 +14,16 @@ Column kinds:
     float32  — FloatType  (PLAIN, bit-exact)
     int_list — ArrayType(int)    (flattened values + lengths chunk)
     f32_list — ArrayType(float)  (flattened values + lengths chunk)
+    flba     — BinaryType, equal-length values (D7 FIXED_LEN_BYTE_ARRAY)
+    int96_ts — epoch-millis int64 via Impala int96 wire (D4)
 
-Round-trip is two Spark stages (encode -> blocks -> decode), each a single
-applyInPandas over content-salted partitions; the row order inside a
-partition is pinned by sorting on the key column, so all column chunks of
-a partition zip back together positionally.
+Scale design: both stages are applyInArrow — partitions arrive as Arrow
+tables whose string/list columns are (offsets, data) buffer pairs, and the
+kernels encode/decode straight from those buffers with no per-row Python
+(reference NEVER vectorizes — lists throughout, encoding.py:125-180; here
+it is mandatory).  Partition count follows data size (rows / ~TARGET_ROWS
+per part, floored at the cluster's default parallelism) instead of a fixed
+constant, so the same code holds at 100x the input.
 """
 
 from __future__ import annotations
@@ -25,12 +31,19 @@ from __future__ import annotations
 import zlib
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..codecs import decode_column, encode_column, params_from_json, params_to_json
+from ..codecs.arrow_io import (
+    decode_str_column,
+    encode_str_column,
+    list_column_flat,
+    string_array_from_lens_blob,
+)
 
 BLOCKS_SCHEMA = T.StructType(
     [
@@ -46,78 +59,154 @@ BLOCKS_SCHEMA = T.StructType(
     ]
 )
 
+_BLOCKS_ARROW = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("params", pa.string()),
+        ("payload", pa.binary()),
+        ("n_values", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("checksum", pa.int64()),
+    ]
+)
+
 _LIST_KINDS = {"int_list": "int", "f32_list": "float32"}
-_SCALAR_KIND_ENC = {
-    "int": ("int", lambda s: s.to_numpy(dtype=np.int64)),
-    "str": ("str", lambda s: s.tolist()),
-    "float64": ("float64", lambda s: s.to_numpy(dtype=np.float64)),
-    "float32": ("float32", lambda s: s.to_numpy(dtype=np.float32)),
-    # D7 FIXED_LEN_BYTE_ARRAY: a BinaryType column of equal-length values
-    "flba": ("flba", lambda s: [bytes(v) for v in s.tolist()]),
-    # D4 int96 timestamps: epoch-millis int64 -> Impala-layout 12-byte wire
-    "int96_ts": ("int96_ts", lambda s: s.to_numpy(dtype=np.int64)),
+_NUMERIC_NP = {
+    "int": np.int64,
+    "float64": np.float64,
+    "float32": np.float32,
+    "int96_ts": np.int64,
 }
 
-
-def _encode_chunk(vals, kind: str, forced: str | None):
-    codec, params, payload, _ = encode_column(vals, kind, codec=forced)
-    return codec, params_to_json(params), payload
+# target rows per encode partition; partition count grows with data size
+TARGET_ROWS_PER_PART = 262_144
 
 
-def _encode_chunk_nullable(series: pd.Series, kind: str, forced: str | None):
-    """Definition-level null handling (reference __init__.py:295-317,336-338;
-    SURVEY.md D17): a width-1 RLE/bit-packed-hybrid validity stream prefixes
-    the payload, and only non-null values are value-encoded."""
+def _combined(arr):
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+def _def_levels_blob(valid: np.ndarray) -> bytes:
+    """Width-1 RLE/bit-packed-hybrid validity stream (reference definition
+    levels, __init__.py:295-317; SURVEY.md D17)."""
     from ..codecs.rle import encode_hybrid
 
-    mask = series.isna().to_numpy()
-    if not mask.any():
-        codec, params, payload = _encode_chunk(_conv_scalar(series, kind), kind, forced)
-        return codec, params, payload, len(series)
-    def_levels = (~mask).astype(np.int64)
-    def_blob = encode_hybrid(def_levels, 1)
-    present = series[~mask]
-    codec, params, payload = _encode_chunk(_conv_scalar(present, kind), kind, forced)
-    full = b"".join(
-        [int(len(def_blob)).to_bytes(4, "little"), def_blob, payload]
-    )
-    p = params_from_json(params)
-    p["__nulls__"] = True
-    return codec, params_to_json(p), full, int((~mask).sum())
+    return encode_hybrid(valid.astype(np.int64), 1)
 
 
-def _conv_scalar(series: pd.Series, kind: str):
-    kind_name, conv = _SCALAR_KIND_ENC[kind]
-    return conv(series)
-
-
-def _decode_chunk_nullable(payload, n_rows, n_values, codec, params_json, kind):
-    """Inverse of _encode_chunk_nullable: decode validity, weave nulls."""
+def _decode_def_levels(blob: bytes, n_rows: int) -> np.ndarray:
     from ..codecs.rle import decode_hybrid
 
+    return decode_hybrid(blob, 1, n_rows).astype(bool)
+
+
+def _encode_values(arr: pa.Array, kind: str, forced: str | None):
+    """Encode the non-null values of an Arrow array; returns
+    (codec, params_json, payload, n_values) with the validity stream
+    prefixed when nulls are present."""
+    n = len(arr)
+    has_nulls = arr.null_count > 0
+    present = pc.drop_null(arr) if has_nulls else arr
+
+    if kind == "str":
+        codec, params, payload = encode_str_column(present, forced)
+    elif kind == "flba":
+        # zero-copy path: binary array buffers -> (n, w) uint8 matrix
+        blob = present.buffers()[2]
+        offs = np.frombuffer(
+            present.buffers()[1], dtype=np.int32, count=len(present) + 1,
+            offset=present.offset * 4,
+        )
+        widths = np.diff(offs)
+        w = int(widths[0]) if len(widths) else 0
+        if len(widths) and not (widths == w).all():
+            raise ValueError("flba column has unequal value widths")
+        mat = (
+            np.frombuffer(blob, dtype=np.uint8, count=len(present) * w,
+                          offset=int(offs[0]))
+            .reshape(len(present), w)
+            if len(present)
+            else np.empty((0, 0), dtype=np.uint8)
+        )
+        codec, params, payload, _ = encode_column(mat, "flba")
+    else:
+        np_dtype = _NUMERIC_NP[kind]
+        vals = present.to_numpy(zero_copy_only=False).astype(np_dtype, copy=False)
+        codec, params, payload, _ = encode_column(vals, kind, codec=forced)
+
+    if has_nulls:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        def_blob = _def_levels_blob(valid)
+        payload = b"".join(
+            [int(len(def_blob)).to_bytes(4, "little"), def_blob, payload]
+        )
+        params = dict(params)
+        params["__nulls__"] = True
+    return codec, params_to_json(params), payload, len(present)
+
+
+def _decode_values(
+    payload: bytes, n_rows: int, n_values: int, codec: str, params_json: str,
+    kind: str,
+) -> pa.Array:
+    """Inverse of _encode_values: decode payload -> typed Arrow array with
+    nulls re-woven from the validity stream (reference __init__.py:336-338)."""
     params = params_from_json(params_json)
-    if not params.pop("__nulls__", False):
-        return decode_column(codec, payload, n_values, params, kind), None
-    mv = memoryview(payload)
-    def_sz = int.from_bytes(mv[0:4], "little")
-    def_levels = decode_hybrid(bytes(mv[4 : 4 + def_sz]), 1, n_rows)
-    vals = decode_column(codec, bytes(mv[4 + def_sz :]), n_values, params, kind)
-    return vals, def_levels.astype(bool)
+    valid = None
+    if params.pop("__nulls__", False):
+        mv = memoryview(payload)
+        def_sz = int.from_bytes(mv[0:4], "little")
+        valid = _decode_def_levels(bytes(mv[4 : 4 + def_sz]), n_rows)
+        payload = bytes(mv[4 + def_sz :])
+
+    if kind == "str":
+        arr = decode_str_column(codec, payload, n_values, params)
+    elif kind == "flba":
+        vals = decode_column(codec, payload, n_values, params, "flba")
+        arr = pa.array(vals, type=pa.binary())
+    else:
+        vals = decode_column(codec, payload, n_values, params, kind)
+        arr = pa.array(np.asarray(vals))
+
+    if valid is None:
+        return arr
+    # scatter present values into null slots via take with null indices
+    idx = np.cumsum(valid, dtype=np.int64) - 1
+    return pc.take(arr, pa.array(idx, mask=~valid))
+
+
+def plan_n_parts(df: DataFrame, n_parts: int | None) -> int:
+    """Derive encode parallelism from data size: ~TARGET_ROWS_PER_PART rows
+    per partition, floored at the cluster's default parallelism (never a
+    fixed constant — the round-1 hard ceiling at scale)."""
+    if n_parts is not None:
+        return n_parts
+    rows = df.count()  # metadata-only for parquet scans
+    spark = df.sparkSession
+    floor = spark.sparkContext.defaultParallelism
+    return int(max(floor, min(65536, -(-rows // TARGET_ROWS_PER_PART))))
 
 
 def encode_df(
     df: DataFrame,
     key_col: str,
     col_kinds: dict[str, str],
-    n_parts: int = 16,
+    n_parts: int | None = None,
     forced_codecs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Encode ``col_kinds`` columns of ``df`` into a blocks DataFrame.
 
     Partitioning is content-addressed (crc32 of the key column mod
-    n_parts) so it is deterministic at any parallelism.
+    n_parts) so it is deterministic at any parallelism; n_parts scales
+    with the row count unless pinned.
     """
     forced_codecs = forced_codecs or {}
+    n_parts = plan_n_parts(df, n_parts)
     cols = [key_col] + [c for c in col_kinds if c != key_col]
     work = df.select(*cols).withColumn(
         "part_id",
@@ -127,10 +216,10 @@ def encode_df(
         ).cast("int"),
     )
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(drop=True)
-        part_id = int(pdf["part_id"].iloc[0])
-        n_rows = len(pdf)
+    def enc(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by(key_col)
+        part_id = tbl.column("part_id")[0].as_py()
+        n_rows = tbl.num_rows
         rows = []
 
         def add(column, codec, params, payload, n_values):
@@ -150,87 +239,82 @@ def encode_df(
 
         for col, kind in col_kinds.items():
             forced = forced_codecs.get(col)
+            arr = _combined(tbl.column(col))
             if kind in _LIST_KINDS:
+                if arr.null_count:
+                    raise ValueError(f"null lists unsupported in {col}")
                 elem_kind = _LIST_KINDS[kind]
-                arrays = pdf[col].to_numpy()
-                lens = np.fromiter(
-                    (len(a) for a in arrays), dtype=np.int64, count=n_rows
+                flat, lens = list_column_flat(arr)
+                c, p, payload, nv = _encode_values(
+                    pa.array(lens), "int", None
                 )
-                dtype = np.int64 if elem_kind == "int" else np.float32
-                flat = (
-                    np.concatenate([np.asarray(a, dtype=dtype) for a in arrays])
-                    if n_rows
-                    else np.empty(0, dtype=dtype)
+                add(col + ".lens", c, p, payload, nv)
+                c, p, payload, nv = _encode_values(
+                    pa.array(np.asarray(flat)), elem_kind, forced
                 )
-                c, p, payload = _encode_chunk(lens, "int", None)
-                add(col + ".lens", c, p, payload, len(lens))
-                c, p, payload = _encode_chunk(flat, elem_kind, forced)
-                add(col + ".vals", c, p, payload, len(flat))
+                add(col + ".vals", c, p, payload, nv)
             else:
-                c, p, payload, n_vals = _encode_chunk_nullable(pdf[col], kind, forced)
-                add(col, c, p, payload, n_vals)
-        return pd.DataFrame(rows)
+                c, p, payload, nv = _encode_values(arr, kind, forced)
+                add(col, c, p, payload, nv)
+        return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
 
-    return work.groupBy("part_id").applyInPandas(enc, schema=BLOCKS_SCHEMA)
+    return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
 
 
-def decode_df(blocks: DataFrame, key_col: str, col_kinds: dict[str, str], out_schema: T.StructType) -> DataFrame:
+def decode_df(
+    blocks: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    out_schema: T.StructType,
+) -> DataFrame:
     """Inverse of :func:`encode_df`; returns rows bit-identical to input."""
 
-    def dec(pdf: pd.DataFrame) -> pd.DataFrame:
-        by_col = {r["column"]: r for _, r in pdf.iterrows()}
-        out = {}
+    def dec(tbl: pa.Table) -> pa.Table:
+        by_col = {r["column"]: r for r in tbl.to_pylist()}
+        n_rows = int(next(iter(by_col.values()))["n_rows"])
+        out_arrays, names = [], []
 
-        def chunk(column, kind):
+        def chunk_arr(column, kind) -> pa.Array:
             row = by_col[column]
             payload = bytes(row["payload"])
             if zlib.crc32(payload) != int(row["checksum"]):
                 raise ValueError(f"checksum mismatch in {column}")
-            return decode_column(
-                row["codec"], payload, int(row["n_values"]),
-                params_from_json(row["params"]), kind,
+            return _decode_values(
+                payload, n_rows, int(row["n_values"]), row["codec"],
+                row["params"], kind,
             )
 
-        n_rows = int(next(iter(by_col.values()))["n_rows"])
         for col, kind in col_kinds.items():
             if kind in _LIST_KINDS:
                 elem_kind = _LIST_KINDS[kind]
-                lens = np.asarray(chunk(col + ".lens", "int"), dtype=np.int64)
-                flat = np.asarray(chunk(col + ".vals", elem_kind))
+                lens = chunk_arr(col + ".lens", "int").to_numpy(
+                    zero_copy_only=False
+                )
+                flat = chunk_arr(col + ".vals", elem_kind)
                 offsets = np.zeros(n_rows + 1, dtype=np.int64)
                 np.cumsum(lens, out=offsets[1:])
-                out[col] = [flat[offsets[i] : offsets[i + 1]] for i in range(n_rows)]
-            else:
-                row = by_col[col]
-                payload = bytes(row["payload"])
-                if zlib.crc32(payload) != int(row["checksum"]):
-                    raise ValueError(f"checksum mismatch in {col}")
-                vals, valid = _decode_chunk_nullable(
-                    payload, n_rows, int(row["n_values"]), row["codec"],
-                    row["params"], kind,
+                if offsets[-1] >= 2**31:
+                    raise ValueError(
+                        "list partition exceeds int32 offset range; "
+                        "increase n_parts"
+                    )
+                arr = pa.ListArray.from_arrays(
+                    pa.array(offsets.astype(np.int32), type=pa.int32()), flat
                 )
-                if kind == "str":
-                    vals = [b.decode() for b in vals]
-                if valid is None:
-                    out[col] = vals
-                else:
-                    # null weave (reference __init__.py:336-338)
-                    woven = np.empty(n_rows, dtype=object)
-                    woven[valid] = np.asarray(vals, dtype=object)[
-                        : int(valid.sum())
-                    ]
-                    woven[~valid] = None
-                    out[col] = woven
-        return pd.DataFrame(out)[list(col_kinds)]
+                out_arrays.append(arr)
+            else:
+                out_arrays.append(chunk_arr(col, kind))
+            names.append(col)
+        return pa.Table.from_arrays(out_arrays, names=names)
 
-    return blocks.groupBy("part_id").applyInPandas(dec, schema=out_schema)
+    return blocks.groupBy("part_id").applyInArrow(dec, schema=out_schema)
 
 
 def roundtrip(
     df: DataFrame,
     key_col: str,
     col_kinds: dict[str, str],
-    n_parts: int = 16,
+    n_parts: int | None = None,
     forced_codecs: dict[str, str] | None = None,
 ) -> DataFrame:
     """encode -> blocks -> decode; output schema mirrors the selected input
@@ -238,15 +322,19 @@ def roundtrip(
     cols = list(col_kinds)
     in_schema = df.select(*cols).schema
     blocks = encode_df(df, key_col, col_kinds, n_parts, forced_codecs)
-    decoded = decode_df(blocks, key_col, col_kinds, _pandas_safe_schema(in_schema))
+    decoded = decode_df(
+        blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds)
+    )
     # cast back to the exact input Spark types (e.g. int32 vs int64)
     return decoded.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in in_schema.fields]
     )
 
 
-def _pandas_safe_schema(schema: T.StructType) -> T.StructType:
-    """Widen ints to long / float32 arrays stay float32 — what the pandas
+def _arrow_safe_schema(
+    schema: T.StructType, col_kinds: dict[str, str]
+) -> T.StructType:
+    """Widen ints to long; float32 lists stay float32 — what the Arrow
     kernels naturally produce before the final cast."""
     fields = []
     for f in schema.fields:

@@ -34,19 +34,52 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------- minhash LSH dedup
 
-def _shingle_hashes(text_series: pd.Series, k: int = 5) -> list[np.ndarray]:
-    """Per doc: crc32-ish hashes of all k-char shingles, vectorized."""
-    out = []
-    for t in text_series:
-        b = np.frombuffer((t or "").encode("utf-8", "ignore"), dtype=np.uint8)
-        if len(b) < k:
-            out.append(np.zeros(1, dtype=np.uint64))
-            continue
-        # rolling polynomial hash over a sliding window (vectorized)
-        windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-        coeffs = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
-        out.append((windows * coeffs).sum(axis=1))
-    return out
+def _minhash_sig_matrix(
+    texts, A: np.ndarray, B: np.ndarray, k: int
+) -> np.ndarray:
+    """(n_docs, n_hashes) MinHash signature matrix, vectorized ACROSS the
+    whole Arrow batch: one concatenated byte buffer, k shifted
+    multiply-accumulate passes for the rolling polynomial window hashes, a
+    diff-trick mask to drop windows crossing document boundaries, and
+    np.minimum.reduceat for the per-doc minima.  The only per-row Python is
+    the str->bytes encode.  Docs shorter than k shingle as {0} (signature
+    B_i mod M), matching the previous per-doc formulation bit-for-bit."""
+    MOD = np.uint64((1 << 61) - 1)
+    enc = [(t or "").encode("utf-8", "ignore") for t in texts]
+    n_docs = len(enc)
+    n_hashes = len(A)
+    sig = np.empty((n_docs, n_hashes), dtype=np.int64)
+    if n_docs == 0:
+        return sig
+    lens = np.fromiter(map(len, enc), dtype=np.int64, count=n_docs)
+    blob = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    total_w = max(len(blob) - k + 1, 0)
+    n_win = np.maximum(lens - k + 1, 0) * (lens >= k)
+    has = n_win > 0
+    if total_w == 0 or not has.any():
+        sig[:] = (B % MOD).astype(np.int64)[None, :]
+        return sig
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # rolling polynomial hash of every window in the concatenated buffer
+    coeffs = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    h = np.zeros(total_w, dtype=np.uint64)
+    for j in range(k):
+        h += blob[j : j + total_w].astype(np.uint64) * coeffs[j]
+    # windows fully inside one doc (diff-trick membership mask)
+    delta = np.zeros(total_w + 1, dtype=np.int64)
+    np.add.at(delta, starts[has], 1)
+    np.add.at(delta, starts[has] + n_win[has], -1)
+    mask = np.cumsum(delta[:-1]) > 0
+    valid_h = h[mask]
+    offs = np.zeros(int(has.sum()), dtype=np.int64)
+    np.cumsum(n_win[has][:-1], out=offs[1:])
+    for i in range(n_hashes):
+        vals = (A[i] * valid_h + B[i]) % MOD  # uint64 wrap semantics
+        sig[has, i] = np.minimum.reduceat(vals, offs).astype(np.int64)
+        if not has.all():
+            sig[~has, i] = np.int64(B[i] % MOD)
+    return sig
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 5) -> DataFrame:
@@ -55,17 +88,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 5) -> DataF
     rng = np.random.default_rng(42)
     A = rng.integers(1, 2**31, n_hashes).astype(np.uint64)
     B = rng.integers(0, 2**31, n_hashes).astype(np.uint64)
-    MOD = np.uint64((1 << 61) - 1)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(text: pd.Series) -> pd.Series:
-        shingles = _shingle_hashes(text, k)
-        sigs = []
-        for sh in shingles:
-            # (n_hashes, n_shingles) affine transforms, min over shingles
-            vals = (A[:, None] * sh[None, :] + B[:, None]) % MOD
-            sigs.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(sigs)
+        m = _minhash_sig_matrix(text.tolist(), A, B, k)
+        return pd.Series(list(m))
 
     return docs.select("doc_id", sig(F.col("text")).alias("minhash"))
 

@@ -11,9 +11,11 @@ implements the structural pieces the engine actually consumes from Iceberg:
   * snapshot ids recorded in per-partition lineage, enabling reproducible
     re-reads (time travel) and resume keyed to the input state.
 
-Determinism: snapshot ids are content hashes (file names + sizes), and
-history is a parent-pointer chain with a sequence number — no wall-clock
-anywhere, so tests and checkpoint/resume are bit-reproducible.
+Determinism: snapshot ids are content hashes (file names + sizes +
+mtime_ns, so in-place rewrites are new states), and history is a
+parent-pointer chain with a sequence number — no generation-time
+wall-clock, so tests and checkpoint/resume are reproducible for a fixed
+on-disk file set.
 
 Layout under <table>/_iceberg/ (underscore-prefixed so Spark's parquet
 file index ignores it when the table dir is read directly):
@@ -45,7 +47,8 @@ def _data_files(table_path: str) -> list[dict]:
         if not name.endswith(".parquet"):
             continue
         full = os.path.join(table_path, name)
-        entry = {"path": name, "size": os.stat(full).st_size}
+        st = os.stat(full)
+        entry = {"path": name, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
         try:
             import pyarrow.parquet as pq
 
@@ -65,7 +68,9 @@ def write_snapshot(table_path: str) -> str:
     files = _data_files(table_path)
     h = hashlib.sha1()
     for f in files:
-        h.update(f"{f['path']}:{f['size']}".encode())
+        # mtime_ns folded in: an in-place rewrite (same name+size) is a new
+        # table state and must produce a new snapshot id
+        h.update(f"{f['path']}:{f['size']}:{f['mtime_ns']}".encode())
     snap_id = h.hexdigest()[:16]
 
     meta = _meta_dir(table_path)

@@ -1,0 +1,185 @@
+"""Exact value oracles for the LSH-family operators.
+
+These ops (MinHash+LSH banding, hyperplane-bucketed near-dup / ANN) are not
+ANSI-SQL-expressible, so the driver only row-count-checks them.  Here each
+gets an independent re-derivation — python-int / sequential-float arithmetic,
+deliberately NOT the numpy formulation the operators use — asserting the
+exact signatures, buckets, pairs, and top-k ids on the deterministic
+sf0.001 tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+M64 = (1 << 64) - 1
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- minhash sigs
+
+def _minhash_rederived(text: str, n_hashes: int = 32, k: int = 5) -> list[int]:
+    """Python-int re-derivation of minhash_signatures' exact arithmetic
+    (uint64 wrap semantics made explicit with masks)."""
+    rng = np.random.default_rng(42)
+    A = [int(a) for a in rng.integers(1, 2**31, n_hashes)]
+    B = [int(b) for b in rng.integers(0, 2**31, n_hashes)]
+    MOD = (1 << 61) - 1
+    b = (text or "").encode("utf-8", "ignore")
+    if len(b) < k:
+        shingles = [0]
+    else:
+        fnv = 1099511628211
+        coeffs = [pow(fnv, j, 1 << 64) for j in range(k)]
+        shingles = [
+            sum(b[i + j] * coeffs[j] for j in range(k)) & M64
+            for i in range(len(b) - k + 1)
+        ]
+    sig = []
+    for a, bb in zip(A, B):
+        # wrap-then-mod per shingle, min after mod — mirror the UDF exactly
+        m = min(((((a * s) & M64) + bb) & M64) % MOD for s in shingles)
+        val = m if m < 1 << 63 else m - (1 << 64)  # int64 view
+        sig.append(val)
+    return sig
+
+
+def test_minhash_signatures_rederived(spark, docs):
+    from parquet_python_spark.operators.pipeline_ops import minhash_signatures
+
+    sample = {r["doc_id"]: r["text"] for r in docs.limit(24).collect()}
+    got = {
+        r["doc_id"]: list(r["minhash"])
+        for r in minhash_signatures(docs).filter(
+            docs.doc_id.isin(list(sample))
+        ).collect()
+    }
+    for doc_id, text in sample.items():
+        assert got[doc_id] == _minhash_rederived(text), f"doc {doc_id}"
+
+
+# -------------------------------------------------------------- LSH banding
+
+def test_lsh_banding_pairs_rederived(spark, docs):
+    """Candidate pairs == docs sharing any identical band slice of the
+    re-derived signatures (band membership by value, not by Spark's hash)."""
+    from parquet_python_spark.operators.pipeline_ops import (
+        dedup_minhash_candidates,
+    )
+
+    n_hashes, bands = 32, 8
+    rows_per_band = n_hashes // bands
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    buckets: dict = {}
+    for doc_id, text in texts.items():
+        sig = _minhash_rederived(text, n_hashes)
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(doc_id)
+    expected = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                expected.add((ms[i], ms[j]))
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_candidates(docs).collect()
+    }
+    assert got == expected
+
+
+# --------------------------------------------------- hyperplane LSH near-dup
+
+def _quantize(vec) -> list[int]:
+    return [math.floor(float(x) * 1000) for x in vec]
+
+
+def _cos_x10k(qa: list[int], qb: list[int]) -> int:
+    dot = sum(x * y for x, y in zip(qa, qb))
+    na = sum(x * x for x in qa)
+    nb = sum(x * x for x in qb)
+    return math.floor(dot / math.sqrt(float(na * nb)) * 10000)
+
+
+def test_near_dup_lsh_rederived(spark, emb):
+    from parquet_python_spark.operators.pipeline_ops import embedding_near_dup_lsh
+
+    n_planes, min_cos = 4, 0.35
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    dim = len(next(iter(vecs.values())))
+    planes = np.random.default_rng(7).standard_normal((n_planes, dim))
+    by_bucket: dict = {}
+    for vid, v in vecs.items():
+        signs = (np.asarray(v, dtype=np.float64) @ planes.T) > 0
+        bucket = int((signs.astype(np.int32) << np.arange(n_planes)).sum())
+        by_bucket.setdefault(bucket, []).append(vid)
+    expected = set()
+    for members in by_bucket.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j]
+                c = _cos_x10k(_quantize(vecs[a]), _quantize(vecs[b]))
+                if c >= int(min_cos * 10000):
+                    expected.add((a, b, c))
+    got = {
+        (r["vec_a"], r["vec_b"], r["cosine_x10k"])
+        for r in embedding_near_dup_lsh(emb, min_cosine=min_cos, n_planes=n_planes)
+        .collect()
+    }
+    assert got == expected
+
+
+# ------------------------------------------------------------- ANN LSH topk
+
+def test_ann_lsh_topk_rederived(spark, emb):
+    from parquet_python_spark.operators.pipeline_ops import ann_lsh_bucketed_topk
+
+    n_planes, k = 8, 10
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    qvec = [float(x) for x in vecs[min(vecs)]]
+    dim = len(qvec)
+    planes = np.random.default_rng(42).standard_normal((n_planes, dim))
+
+    def bucket_of(v) -> int:
+        signs = (np.asarray(v, dtype=np.float64) @ planes.T) > 0
+        return int((signs.astype(np.int32) << np.arange(n_planes)).sum())
+
+    q = np.asarray(qvec, dtype=np.float64)
+    q_bucket = int((((planes @ q) > 0).astype(np.int32) << np.arange(n_planes)).sum())
+    wanted = {q_bucket} | {q_bucket ^ (1 << i) for i in range(n_planes)}
+    qnorm = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    scored = []
+    for vid, v in vecs.items():
+        if bucket_of(v) not in wanted:
+            continue
+        # sequential left-fold sums — matches F.aggregate's fold order
+        dot = 0.0
+        for a, b in zip(v, qvec):
+            dot += float(a) * b
+        nrm = 0.0
+        for a in v:
+            nrm += float(a) * float(a)
+        scored.append((dot / (math.sqrt(nrm) * qnorm), vid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    expected = [vid for _, vid in scored[:k]]
+    got = [
+        r["vec_id"]
+        for r in ann_lsh_bucketed_topk(emb, qvec, k=k, n_planes=n_planes)
+        .select("vec_id")
+        .collect()
+    ]
+    assert got == expected
