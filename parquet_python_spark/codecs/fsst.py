@@ -218,8 +218,12 @@ def encode_fsst(
     }
 
 
-def decode_fsst(data: bytes, n: int, params: dict) -> np.ndarray:
-    """Vectorized expansion: codes -> (offset, len) gather via np.repeat."""
+def decode_fsst(data: bytes, n: int, params: dict, out_dtype=np.int64) -> np.ndarray:
+    """Vectorized expansion: codes -> (offset, len) gather via np.repeat.
+
+    out_dtype=np.int32 (valid when the base alphabet fits) halves the
+    write traffic of the scatter — the expansion output is the largest
+    buffer this decoder touches."""
     alphabet = params["alphabet"]
     mv = memoryview(data)
     n_sym = int.from_bytes(mv[0:2], "little")
@@ -229,12 +233,14 @@ def decode_fsst(data: bytes, n: int, params: dict) -> np.ndarray:
     pos += n_sym
     flat_n = int(sym_lens.sum())
     flat_bytes = ((flat_n + 7) // 8 * 8 * w_elem) // 8
-    flat = unpack_bits_lsb(mv[pos : pos + flat_bytes], w_elem, flat_n)
+    small = np.dtype(out_dtype).itemsize == 4 and alphabet < 2**31
+    elem_dtype = np.int32 if small else np.int64
+    flat = unpack_bits_lsb(mv[pos : pos + flat_bytes], w_elem, flat_n, elem_dtype)
     pos += flat_bytes
     n_stream = int.from_bytes(mv[pos : pos + 4], "little")
     pos += 4
     w_stream = params["w_stream"]
-    stream = unpack_bits_lsb(mv[pos:], w_stream, n_stream)
+    stream = unpack_bits_lsb(mv[pos:], w_stream, n_stream, elem_dtype)
 
     sym_offsets = np.zeros(n_sym + 1, dtype=np.int64)
     np.cumsum(sym_lens, out=sym_offsets[1:])
@@ -246,7 +252,7 @@ def decode_fsst(data: bytes, n: int, params: dict) -> np.ndarray:
     starts = np.zeros(len(stream), dtype=np.int64)
     np.cumsum(out_lens[:-1], out=starts[1:])
 
-    out = np.empty(total, dtype=np.int64)
+    out = np.empty(total, dtype=elem_dtype)
     # literals: single element at their start position
     lit_idx = np.flatnonzero(~is_sym)
     out[starts[lit_idx]] = stream[lit_idx]

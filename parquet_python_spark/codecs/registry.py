@@ -193,7 +193,7 @@ def _dec_int(
             return vals
         return np.asarray(vals, dtype=np.int64)
     if codec == "fsst":
-        return decode_fsst(data, n, params)
+        return decode_fsst(data, n, params, out_dtype)
     raise KeyError(f"unknown int codec {codec}")
 
 
