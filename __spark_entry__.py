@@ -169,6 +169,24 @@ def _rt_documents_nulls(spark, sf_dir):
     )
 
 
+def _rt_lineitem_pruned(spark, sf_dir):
+    # predicate-pruned decode: per-block min/max stats (the Statistics the
+    # reference parses but never uses, parquet.thrift:198-206) skip blocks
+    # outside [lo, hi] before any payload is read or decoded; range
+    # partitioning makes the stats selective (clustered layout).
+    from parquet_python_spark.operators.generic_codec import roundtrip_filtered
+
+    li = _t(spark, sf_dir, "lineitem")
+    return roundtrip_filtered(
+        li,
+        "l_orderkey",
+        {"l_orderkey": "int", "l_partkey": "int", "l_quantity": "float64"},
+        "l_orderkey",
+        1000,
+        3000,
+    )
+
+
 def _rt_part_flba(spark, sf_dir):
     # D7 FIXED_LEN_BYTE_ARRAY (reference encoding.py:72-74): 16-byte md5
     # digests as a fixed-width binary column; hex output so the driver's
@@ -380,6 +398,23 @@ def _multimodal_features(spark, sf_dir):
 
 # --------------------------------------------------- relational coverage
 
+def _multimodal_frames(spark, sf_dir):
+    # frame sampling over opaque blobs (fixed-stride byte windows); frames
+    # decoded back to strings for the canonicalizer (documents text is
+    # ASCII, so utf-8 slices at any offset are valid strings)
+    from parquet_python_spark.operators.multimodal import (
+        frame_sample,
+        with_media_column,
+    )
+
+    frames = frame_sample(with_media_column(_t(spark, sf_dir, "documents")))
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.decode("frame_bytes", "utf-8").alias("frame_str"),
+    )
+
+
 def _scan_projection(spark, sf_dir):
     # SURVEY.md P1: column-pruning pushdown (Catalyst prunes the parquet scan)
     return _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -439,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_customer_doubles": _rt_customer_doubles,
         "rt_documents_nulls": _rt_documents_nulls,
         "rt_region_nation_supplier": _rt_region_nation_supplier,
+        "rt_lineitem_pruned": _rt_lineitem_pruned,
         "rt_part_flba": _rt_part_flba,
         "rt_orders_int96": _rt_orders_int96,
         "rt_fixture_nation": _rt_fixture_nation,
@@ -460,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "multimodal_meta": _multimodal_meta,
         "multimodal_features": _multimodal_features,
+        "multimodal_frames": _multimodal_frames,
         "scan_projection": _scan_projection,
         "limit_topk": _limit_topk,
         "agg_pricing_summary": _agg_pricing_summary,
@@ -500,6 +537,10 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_n, "
             "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS chars_n "
             "FROM documents"
+        ),
+        "rt_lineitem_pruned": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
+            "WHERE l_orderkey BETWEEN 1000 AND 3000"
         ),
         "rt_part_flba": (
             "SELECT p_partkey, md5(CAST(p_partkey AS VARCHAR)) AS digest_hex "
@@ -650,6 +691,13 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST(COALESCE(h.c, 0) AS DOUBLE) / t.tot END AS value "
             "FROM grid g LEFT JOIN t ON g.doc_id = t.doc_id "
             "LEFT JOIN h ON h.doc_id = g.doc_id AND h.bkt = g.bucket_idx"
+        ),
+        "multimodal_frames": (
+            # fixed-stride windows: frame k covers bytes [64k, 64k+16)
+            "SELECT d.doc_id, CAST(i AS BIGINT) AS frame_idx, "
+            "substr(d.text, CAST(i * 64 + 1 AS INTEGER), 16) AS frame_str "
+            "FROM documents d, range(0, 256) AS r(i) "
+            "WHERE i * 64 < length(d.text)"
         ),
         "lang_id": (
             # same argmax as Spark's array_max over (score, lang) structs:

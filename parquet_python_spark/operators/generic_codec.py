@@ -56,6 +56,11 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("enc_bytes", T.LongType(), False),
         T.StructField("checksum", T.LongType(), False),
+        # per-chunk min/max statistics (numeric kinds; the reference parses
+        # parquet Statistics but never consumes them, parquet.thrift:198-206
+        # — here they drive block pruning in decode_df_pruned)
+        T.StructField("stat_min", T.LongType(), True),
+        T.StructField("stat_max", T.LongType(), True),
     ]
 )
 
@@ -70,6 +75,8 @@ _BLOCKS_ARROW = pa.schema(
         ("n_rows", pa.int64()),
         ("enc_bytes", pa.int64()),
         ("checksum", pa.int64()),
+        ("stat_min", pa.int64()),
+        ("stat_max", pa.int64()),
     ]
 )
 
@@ -198,23 +205,39 @@ def encode_df(
     col_kinds: dict[str, str],
     n_parts: int | None = None,
     forced_codecs: dict[str, str] | None = None,
+    partitioning: str = "hash",
 ) -> DataFrame:
     """Encode ``col_kinds`` columns of ``df`` into a blocks DataFrame.
 
-    Partitioning is content-addressed (crc32 of the key column mod
-    n_parts) so it is deterministic at any parallelism; n_parts scales
-    with the row count unless pinned.
+    partitioning="hash" (default): content-addressed crc32 of the key mod
+    n_parts — deterministic at any parallelism, robust to any key type.
+    partitioning="range": numeric keys bucketed by value range — the
+    clustered-table layout that makes per-block min/max stats selective
+    (decode_df_pruned skips whole blocks).  Both are deterministic given
+    the data; n_parts scales with the row count unless pinned.
     """
     forced_codecs = forced_codecs or {}
     n_parts = plan_n_parts(df, n_parts)
     cols = [key_col] + [c for c in col_kinds if c != key_col]
-    work = df.select(*cols).withColumn(
-        "part_id",
-        F.pmod(
+    if partitioning == "range":
+        bounds = df.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        span = max(hi - lo + 1, 1)
+        part_expr = F.least(
+            F.lit(n_parts - 1),
+            ((F.col(key_col).cast("long") - F.lit(lo)) * n_parts / F.lit(span))
+            .cast("int"),
+        )
+    elif partitioning == "hash":
+        part_expr = F.pmod(
             F.crc32(F.coalesce(F.col(key_col).cast("string"), F.lit(""))),
             F.lit(n_parts),
-        ).cast("int"),
-    )
+        ).cast("int")
+    else:
+        raise ValueError(f"unknown partitioning {partitioning!r}")
+    work = df.select(*cols).withColumn("part_id", part_expr)
 
     def enc(tbl: pa.Table) -> pa.Table:
         tbl = tbl.sort_by(key_col)
@@ -222,7 +245,7 @@ def encode_df(
         n_rows = tbl.num_rows
         rows = []
 
-        def add(column, codec, params, payload, n_values):
+        def add(column, codec, params, payload, n_values, stats=(None, None)):
             rows.append(
                 {
                     "part_id": part_id,
@@ -234,8 +257,16 @@ def encode_df(
                     "n_rows": n_rows,
                     "enc_bytes": len(payload),
                     "checksum": zlib.crc32(payload),
+                    "stat_min": stats[0],
+                    "stat_max": stats[1],
                 }
             )
+
+        def int_stats(arr):
+            if arr.null_count == len(arr) or len(arr) == 0:
+                return (None, None)
+            mm = pc.min_max(arr)
+            return (mm["min"].as_py(), mm["max"].as_py())
 
         for col, kind in col_kinds.items():
             forced = forced_codecs.get(col)
@@ -254,8 +285,11 @@ def encode_df(
                 )
                 add(col + ".vals", c, p, payload, nv)
             else:
+                stats = (
+                    int_stats(arr) if kind in ("int", "int96_ts") else (None, None)
+                )
                 c, p, payload, nv = _encode_values(arr, kind, forced)
-                add(col, c, p, payload, nv)
+                add(col, c, p, payload, nv, stats)
         return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
 
     return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
@@ -308,6 +342,67 @@ def decode_df(
         return pa.Table.from_arrays(out_arrays, names=names)
 
     return blocks.groupBy("part_id").applyInArrow(dec, schema=out_schema)
+
+
+def decode_df_pruned(
+    blocks: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    out_schema: T.StructType,
+    pred_col: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Decode only the partitions whose [stat_min, stat_max] for
+    ``pred_col`` intersects [lo, hi] — min/max block skipping, the thing
+    the reference parses from parquet Statistics but never does
+    (parquet.thrift:198-206).  The stats filter pushes down to the blocks
+    parquet scan (Catalyst sees plain column predicates), and the surviving
+    part_ids broadcast into a semi join, so non-qualifying payloads are
+    never read, shuffled, or decoded.  Callers re-apply the exact row
+    predicate after decode (block stats are a superset filter)."""
+    keep = (
+        blocks.filter(
+            (F.col("column") == pred_col)
+            & (F.col("stat_max") >= lo)
+            & (F.col("stat_min") <= hi)
+        )
+        .select("part_id")
+        .distinct()
+    )
+    pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
+    return decode_df(pruned, key_col, col_kinds, out_schema)
+
+
+def roundtrip_filtered(
+    df: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    pred_col: str,
+    lo: int,
+    hi: int,
+    n_parts: int | None = None,
+    forced_codecs: dict[str, str] | None = None,
+) -> DataFrame:
+    """encode -> blocks -> min/max-pruned decode -> exact predicate.
+
+    Row-level result is exact (the block-stats prune is a superset; the
+    final filter re-applies the predicate); the prune is the perf win."""
+    cols = list(col_kinds)
+    in_schema = df.select(*cols).schema
+    blocks = encode_df(
+        df, key_col, col_kinds, n_parts, forced_codecs, partitioning="range"
+    )
+    decoded = decode_df_pruned(
+        blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
+        pred_col, lo, hi,
+    )
+    out = decoded.filter(
+        (F.col(pred_col) >= lo) & (F.col(pred_col) <= hi)
+    )
+    return out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in in_schema.fields]
+    )
 
 
 def roundtrip(

@@ -1,0 +1,98 @@
+"""Block-level min/max statistics + predicate-pruned decode.
+
+The reference parses parquet Statistics{min,max} but never consults them
+(parquet.thrift:198-206, SURVEY.md §4); here they actually skip blocks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def keyed_df(spark):
+    return spark.range(20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+        F.concat(F.lit("row"), F.col("id").cast("string")).alias("s"),
+    )
+
+
+def test_blocks_carry_minmax_stats(spark, keyed_df):
+    from parquet_python_spark.operators.generic_codec import encode_df
+
+    blocks = encode_df(
+        keyed_df, "k", {"k": "int", "v": "int", "s": "str"},
+        n_parts=8, partitioning="range",
+    ).cache()
+    stats = {
+        (r["part_id"], r["column"]): (r["stat_min"], r["stat_max"])
+        for r in blocks.collect()
+    }
+    # int chunks have stats; string chunks don't
+    assert all(
+        stats[(p, c)][0] is not None
+        for (p, c) in stats
+        if c in ("k", "v")
+    )
+    assert all(stats[(p, c)][0] is None for (p, c) in stats if c == "s")
+    # range partitioning: per-part key ranges are disjoint and ordered
+    k_ranges = sorted(v for (p, c), v in stats.items() if c == "k")
+    for (lo1, hi1), (lo2, hi2) in zip(k_ranges, k_ranges[1:]):
+        assert hi1 < lo2
+    blocks.unpersist()
+
+
+def test_pruned_decode_exact_and_selective(spark, keyed_df):
+    from parquet_python_spark.operators.generic_codec import (
+        decode_df_pruned,
+        encode_df,
+        _arrow_safe_schema,
+    )
+
+    kinds = {"k": "int", "v": "int", "s": "str"}
+    blocks = encode_df(
+        keyed_df, "k", kinds, n_parts=16, partitioning="range"
+    ).cache()
+    lo, hi = 5_000, 6_000
+    out_schema = _arrow_safe_schema(keyed_df.select(*kinds).schema, kinds)
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "k", lo, hi)
+    # superset semantics: everything in [lo, hi] present after exact filter
+    got = sorted(
+        (r["k"], r["v"], r["s"])
+        for r in dec.filter((F.col("k") >= lo) & (F.col("k") <= hi)).collect()
+    )
+    exp = sorted(
+        (r["k"], r["v"], r["s"])
+        for r in keyed_df.filter((F.col("k") >= lo) & (F.col("k") <= hi)).collect()
+    )
+    assert got == exp
+    # selectivity: only blocks overlapping [lo, hi] were decoded
+    decoded_parts = dec.select().count()  # rows decoded across kept parts
+    kept = (
+        blocks.filter(
+            (F.col("column") == "k")
+            & (F.col("stat_max") >= lo)
+            & (F.col("stat_min") <= hi)
+        ).count()
+    )
+    total = blocks.filter(F.col("column") == "k").count()
+    assert kept < total  # pruning actually skipped blocks
+    assert decoded_parts < 20_000  # and decode touched a strict subset of rows
+    blocks.unpersist()
+
+
+def test_roundtrip_filtered_end_to_end(spark, keyed_df):
+    from parquet_python_spark.operators.generic_codec import roundtrip_filtered
+
+    out = roundtrip_filtered(
+        keyed_df, "k", {"k": "int", "v": "int", "s": "str"},
+        "k", 100, 250, n_parts=16,
+    )
+    got = sorted((r["k"], r["v"], r["s"]) for r in out.collect())
+    exp = sorted(
+        (r["k"], r["v"], r["s"])
+        for r in keyed_df.filter((F.col("k") >= 100) & (F.col("k") <= 250)).collect()
+    )
+    assert got == exp
