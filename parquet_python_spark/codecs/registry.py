@@ -284,18 +284,26 @@ def wrap_outer(payload: bytes, params: dict, outer: str | None) -> bytes:
     """Optional whole-payload compression — parity with the reference's page
     decompress (D20: SNAPPY/GZIP at /root/reference/parquet/__init__.py:223-250).
     Orthogonal to the lightweight encodings; applied only when it shrinks
-    (and never relied on by the <=-reference-size gate).  zlib stands in for
-    both reference codecs (snappy is not installed here; the enum slot is
-    kept open in params)."""
+    (and never relied on by the <=-reference-size gate).  "gzip" matches the
+    reference's GZIP member format (gzip.GzipFile) byte-compatibly; "zlib"
+    is the raw-deflate variant; snappy is not installed in this sandbox, so
+    its enum slot stays open in params."""
     if not outer:
         return payload
-    if outer != "zlib":
-        raise KeyError(f"unknown outer codec {outer}")
-    import zlib
+    if outer == "zlib":
+        import zlib
 
-    compressed = zlib.compress(payload, 1)
+        compressed = zlib.compress(payload, 1)
+    elif outer == "gzip":
+        import gzip
+
+        # mtime=0: deterministic output (checkpoint/resume reruns must be
+        # byte-identical)
+        compressed = gzip.compress(payload, compresslevel=1, mtime=0)
+    else:
+        raise KeyError(f"unknown outer codec {outer}")
     if len(compressed) < len(payload):
-        params["outer"] = "zlib"
+        params["outer"] = outer
         return compressed
     return payload
 
@@ -304,11 +312,15 @@ def unwrap_outer(payload: bytes, params: dict) -> bytes:
     outer = params.get("outer")
     if not outer:
         return payload
-    if outer != "zlib":
-        raise KeyError(f"unknown outer codec {outer}")
-    import zlib
+    if outer == "zlib":
+        import zlib
 
-    return zlib.decompress(payload)
+        return zlib.decompress(payload)
+    if outer == "gzip":
+        import gzip
+
+        return gzip.decompress(payload)
+    raise KeyError(f"unknown outer codec {outer}")
 
 
 # ------------------------------------------------------------- public API

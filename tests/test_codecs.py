@@ -237,3 +237,26 @@ def test_outer_compression_wrap_roundtrip():
     assert np.array_equal(
         np.asarray(decode_column(c, blob, len(rand), p, "int")), rand
     )
+
+
+def test_outer_gzip_roundtrip_and_reference_format():
+    """D20 GZIP parity: the wrapped payload is a valid gzip member exactly
+    as the reference's gzip.GzipFile path would consume it
+    (/root/reference/parquet/__init__.py:230-233), and deterministic."""
+    import gzip as _gzip
+
+    import numpy as np
+
+    from parquet_python_spark.codecs import decode_column, encode_column
+
+    vals = np.repeat(np.arange(64, dtype=np.int64), 200)
+    c, p, blob, _ = encode_column(vals, "int", codec="plain64", outer="gzip")
+    assert p.get("outer") == "gzip"
+    # reference-side consumption: plain gzip.decompress must yield the body
+    body = _gzip.decompress(blob)
+    assert len(body) == 8 * len(vals)
+    out = decode_column(c, blob, len(vals), p, "int")
+    np.testing.assert_array_equal(out, vals)
+    # determinism (mtime=0): re-encode produces identical bytes
+    _, _, blob2, _ = encode_column(vals, "int", codec="plain64", outer="gzip")
+    assert blob2 == blob
