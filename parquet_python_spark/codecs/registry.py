@@ -285,9 +285,10 @@ def wrap_outer(payload: bytes, params: dict, outer: str | None) -> bytes:
     decompress (D20: SNAPPY/GZIP at /root/reference/parquet/__init__.py:223-250).
     Orthogonal to the lightweight encodings; applied only when it shrinks
     (and never relied on by the <=-reference-size gate).  "gzip" matches the
-    reference's GZIP member format (gzip.GzipFile) byte-compatibly; "zlib"
-    is the raw-deflate variant; snappy is not installed in this sandbox, so
-    its enum slot stays open in params."""
+    reference's GZIP member format (gzip.GzipFile) byte-compatibly;
+    "snappy" covers the reference's other page codec via pyarrow's bundled
+    raw-snappy; "zlib" is the raw-deflate variant and "zstd" the modern
+    extra."""
     if not outer:
         return payload
     if outer == "zlib":
@@ -300,6 +301,18 @@ def wrap_outer(payload: bytes, params: dict, outer: str | None) -> bytes:
         # mtime=0: deterministic output (checkpoint/resume reruns must be
         # byte-identical)
         compressed = gzip.compress(payload, compresslevel=1, mtime=0)
+    elif outer in ("snappy", "zstd"):
+        # reference SNAPPY slot (D20, __init__.py:228-229) via pyarrow's
+        # bundled codec (raw snappy format, same as python-snappy); zstd is
+        # the modern extra.  pyarrow needs the raw size back at decompress.
+        import pyarrow as pa
+
+        compressed = bytes(pa.Codec(outer).compress(payload))
+        if len(compressed) < len(payload):
+            params["outer"] = outer
+            params["outer_raw"] = len(payload)
+            return compressed
+        return payload
     else:
         raise KeyError(f"unknown outer codec {outer}")
     if len(compressed) < len(payload):
@@ -320,6 +333,14 @@ def unwrap_outer(payload: bytes, params: dict) -> bytes:
         import gzip
 
         return gzip.decompress(payload)
+    if outer in ("snappy", "zstd"):
+        import pyarrow as pa
+
+        return bytes(
+            pa.Codec(outer).decompress(
+                payload, decompressed_size=int(params["outer_raw"])
+            )
+        )
     raise KeyError(f"unknown outer codec {outer}")
 
 

@@ -260,3 +260,23 @@ def test_outer_gzip_roundtrip_and_reference_format():
     # determinism (mtime=0): re-encode produces identical bytes
     _, _, blob2, _ = encode_column(vals, "int", codec="plain64", outer="gzip")
     assert blob2 == blob
+
+
+def test_outer_snappy_zstd_roundtrip():
+    """D20 SNAPPY parity (reference __init__.py:228-229) via pyarrow's
+    bundled raw-snappy codec, plus zstd as the modern extra."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_python_spark.codecs import decode_column, encode_column
+
+    vals = np.repeat(np.arange(32, dtype=np.int64), 300)
+    for outer in ("snappy", "zstd"):
+        c, p, blob, _ = encode_column(vals, "int", codec="plain64", outer=outer)
+        assert p.get("outer") == outer and p["outer_raw"] == 8 * len(vals)
+        # raw snappy is what python-snappy/the reference would consume
+        if outer == "snappy":
+            raw = bytes(pa.Codec("snappy").decompress(blob, p["outer_raw"]))
+            assert len(raw) == 8 * len(vals)
+        out = decode_column(c, blob, len(vals), p, "int")
+        np.testing.assert_array_equal(out, vals)
