@@ -137,8 +137,8 @@ def _encode_values(arr: pa.Array, kind: str, forced: str | None):
             np.frombuffer(blob, dtype=np.uint8, count=len(present) * w,
                           offset=int(offs[0]))
             .reshape(len(present), w)
-            if len(present)
-            else np.empty((0, 0), dtype=np.uint8)
+            if len(present) and w
+            else np.empty((0, max(w, 1)), dtype=np.uint8)
         )
         codec, params, payload, _ = encode_column(mat, "flba")
     else:

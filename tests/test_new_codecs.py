@@ -186,3 +186,32 @@ def test_generic_codec_flba_int96_roundtrip(spark):
         r["id"]: (bytes(r["digest"]), r["ts_millis"]) for r in df.collect()
     }
     assert got == exp
+
+
+def test_arrow_kernel_null_edges():
+    """All-null / empty partitions through the Arrow encode kernels (no
+    Spark): flba, int, str — null weave must survive degenerate chunks."""
+    import pyarrow as pa
+
+    from parquet_python_spark.operators.generic_codec import (
+        _decode_values,
+        _encode_values,
+    )
+
+    cases = [
+        (pa.array([None, None], type=pa.binary()), "flba", 2),
+        (pa.array([], type=pa.binary()), "flba", 0),
+        (pa.array([None, None], type=pa.int64()), "int", 2),
+        (pa.array([None, "x", None], type=pa.utf8()), "str", 3),
+        (pa.array([b"abcd", None, b"wxyz"], type=pa.binary()), "flba", 3),
+    ]
+    for arr, kind, n in cases:
+        c, p, payload, nv = _encode_values(arr, kind, None)
+        out = _decode_values(payload, n, nv, c, p, kind)
+        assert len(out) == n
+        assert out.null_count == arr.null_count
+        got = [v.as_py() for v in out]
+        exp = [v.as_py() for v in arr]
+        if kind == "str":
+            exp = [None if v is None else v for v in exp]
+        assert got == exp
