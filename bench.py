@@ -111,11 +111,21 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             sc = json.load(f)
+        # staleness is judged against the modules the scaling bench actually
+        # executes (engine + codecs + session + tokengen) — edits to
+        # streaming/pipeline/multimodal code cannot invalidate the scaling
+        # measurement
         src_mtime = 0.0
-        for root, _dirs, names in os.walk(os.path.join(repo, "parquet_python_spark")):
-            for name in names:
-                if name.endswith(".py"):
-                    src_mtime = max(src_mtime, os.path.getmtime(os.path.join(root, name)))
+        scaling_srcs = ["engine.py", "session.py", "tokengen.py", "codecs"]
+        for rel in scaling_srcs:
+            p = os.path.join(repo, "parquet_python_spark", rel)
+            files = (
+                [os.path.join(p, n) for n in os.listdir(p) if n.endswith(".py")]
+                if os.path.isdir(p)
+                else [p]
+            )
+            for fp in files:
+                src_mtime = max(src_mtime, os.path.getmtime(fp))
         sc_mtime = os.path.getmtime(scaling_path)
         out["scaling_from_cached_json"] = True
         out["scaling_stale"] = bool(src_mtime > sc_mtime)

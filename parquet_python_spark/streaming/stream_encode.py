@@ -53,3 +53,115 @@ def start_stream_encode(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_token_rates(
+    spark: SparkSession,
+    input_path: str,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+):
+    """Streaming windowed aggregation with late-data handling: per-source
+    token throughput over event-time windows.
+
+    `ingest_ts` is event time; the watermark bounds how late a row may
+    arrive and still update its window (older rows are dropped and their
+    window's state is released — bounded state at any stream length, the
+    thing a 100 TB continuous ingest job actually needs).  Returns the
+    aggregated streaming DataFrame; attach a sink with .writeStream.
+
+    The reference has no streaming surface at all (SURVEY.md §2.4); this is
+    new engine capability expressed entirely with Structured Streaming
+    built-ins — watermark, window, groupBy — no custom state.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("ingest_ts", T.TimestampType(), False),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    return (
+        stream.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"), "source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "source",
+            "n_rows",
+            "n_tokens",
+        )
+    )
+
+
+def stateful_source_totals(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None
+):
+    """Custom stateful streaming operator: cumulative per-source token
+    totals via applyInPandasWithState (GroupState), emitting one running
+    snapshot row per source per micro-batch.
+
+    State is one (rows, tokens) pair per source — O(#sources), not O(rows):
+    the bounded-state shape a production pipeline needs.  Timeout is not
+    used (totals never expire); the state API round-trip (get/update) is
+    the part under test.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("ingest_ts", T.TimestampType(), False),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType(), False),
+            T.StructField("total_rows", T.LongType(), False),
+            T.StructField("total_tokens", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("rows", T.LongType(), False),
+            T.StructField("tokens", T.LongType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        rows, tokens = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            rows += len(pdf)
+            tokens += int(pdf["n_tok"].sum())
+        state.update((rows, tokens))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "total_rows": [rows],
+                "total_tokens": [tokens],
+            }
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    return stream.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
