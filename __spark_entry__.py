@@ -375,6 +375,17 @@ def _ann_lsh_topk(spark, sf_dir):
     return ann_lsh_bucketed_topk(emb, list(qvec), k=10).select("vec_id")
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    # IVF scale path: deterministic k-means coarse quantizer, narrow
+    # assignment pass, n_probe-cluster search (exact pytest oracle in
+    # tests/test_pipeline_oracles.py; centroids aren't SQL-expressible)
+    from parquet_python_spark.operators.pipeline_ops import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return ann_ivf_topk(emb, list(qvec), k=10).select("vec_id")
+
+
 def _multimodal_meta(spark, sf_dir):
     from parquet_python_spark.operators.multimodal import media_meta, with_media_column
 
@@ -494,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": _near_dup_embeddings,
         "near_dup_embeddings_lsh": _near_dup_embeddings_lsh,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "multimodal_meta": _multimodal_meta,
         "multimodal_features": _multimodal_features,
         "multimodal_frames": _multimodal_frames,
@@ -715,13 +727,14 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'de' END AS lang_pred FROM s"
         ),
         "dedup_simhash": _simhash_oracle(),
-        # dedup_minhash / near_dup_embeddings_lsh / ann_lsh_topk: LSH banding
-        # and random-hyperplane bucketing are not ANSI-SQL-expressible; the
-        # driver records the weaker rows-only check for them, and exact
-        # numpy re-derivations in tests/test_pipeline_oracles.py assert the
-        # signatures/buckets value-for-value (their exact-result twins —
-        # dedup_exact, near_dup_embeddings, ann_cosine_topk — ARE
-        # oracle-checked here).
+        # dedup_minhash / near_dup_embeddings_lsh / ann_lsh_topk /
+        # ann_ivf_topk: LSH banding, random-hyperplane bucketing and the
+        # k-means coarse quantizer are not ANSI-SQL-expressible; the driver
+        # records the weaker rows-only check for them, and exact numpy
+        # re-derivations in tests/test_pipeline_oracles.py assert the
+        # signatures/buckets/centroids/top-k value-for-value (their
+        # exact-result twins — dedup_exact, near_dup_embeddings,
+        # ann_cosine_topk — ARE oracle-checked here).
     }
 
 

@@ -143,6 +143,70 @@ def test_near_dup_lsh_rederived(spark, emb):
     assert got == expected
 
 
+# ------------------------------------------------------------- ANN IVF topk
+
+def test_ann_ivf_topk_rederived(spark, emb):
+    """IVF search re-derived independently: k-means recomputed from the
+    same pinned sample, per-vector assignment + probe filter + sequential
+    fold cosine, exact top-k id list."""
+    import numpy as np
+
+    from parquet_python_spark.operators.pipeline_ops import (
+        ann_ivf_topk,
+        train_ivf_centroids,
+    )
+
+    n_clusters, n_probe, k = 8, 3, 10
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    qvec = vecs[min(vecs)]
+
+    # independent k-means re-derivation (same seed/protocol, scalar loops)
+    sample_ids = sorted(vecs)[:2048]
+    X = np.asarray([vecs[i] for i in sample_ids], dtype=np.float64)
+    rng = np.random.default_rng(13)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(8):
+        assign = np.array(
+            [int(((C - x) ** 2).sum(axis=1).argmin()) for x in X]
+        )
+        for c in range(len(C)):
+            m = X[assign == c]
+            if len(m):
+                C[c] = m.mean(axis=0)
+
+    q = np.asarray(qvec)
+    probes = set(
+        int(c) for c in np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")[:n_probe]
+    )
+    qnorm = math.sqrt(sum(x * x for x in qvec))
+    scored = []
+    for vid, v in vecs.items():
+        x = np.asarray(v)
+        cl = int(((C - x) ** 2).sum(axis=1).argmin())
+        if cl not in probes:
+            continue
+        dot = 0.0
+        for a, b in zip(v, qvec):
+            dot += a * b
+        nrm = 0.0
+        for a in v:
+            nrm += a * a
+        scored.append((dot / (math.sqrt(nrm) * qnorm), vid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    expected = [vid for _, vid in scored[:k]]
+
+    cents = train_ivf_centroids(emb, n_clusters)
+    np.testing.assert_allclose(cents, C, rtol=0, atol=0)  # bit-identical
+    got = [
+        r["vec_id"]
+        for r in ann_ivf_topk(
+            emb, qvec, k=k, n_clusters=n_clusters, n_probe=n_probe,
+            centroids=cents,
+        ).select("vec_id").collect()
+    ]
+    assert got == expected
+
+
 # ------------------------------------------------------------- ANN LSH topk
 
 def test_ann_lsh_topk_rederived(spark, emb):
