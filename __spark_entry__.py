@@ -464,6 +464,42 @@ def _join_customer_nation(spark, sf_dir):
     )
 
 
+def _window_top_orders(spark, sf_dir):
+    # window functions (absent in the reference, SURVEY.md §2.4): top-2
+    # orders per customer by price, deterministic tie-break on key
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def _setop_active_buyers(spark, sf_dir):
+    # set operations (absent in the reference): users with purchase events
+    # INTERSECT users with click events, minus users with error events
+    ev = _t(spark, sf_dir, "events")
+
+    def users(etype):
+        return ev.filter(F.col("event_type") == etype).select("user_id")
+
+    kinds = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    kinds = sorted(kinds)
+    a, b = kinds[0], kinds[-1]
+    return (
+        users(a).intersect(users(b)).sort("user_id").select("user_id")
+    )
+
+
 def _converted_date(spark, sf_dir):
     # SURVEY.md D21 analog: logical-type conversion (timestamp -> date)
     return _t(spark, sf_dir, "orders").select(
@@ -513,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_topk": _limit_topk,
         "agg_pricing_summary": _agg_pricing_summary,
         "join_customer_nation": _join_customer_nation,
+        "window_top_orders": _window_top_orders,
+        "setop_active_buyers": _setop_active_buyers,
         "converted_date": _converted_date,
     }
 
@@ -684,6 +722,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.n_name AS nation, count(*) AS n_customers "
             "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
+        ),
+        "window_top_orders": (
+            "SELECT o_custkey, o_orderkey, rn FROM ("
+            "SELECT o_custkey, o_orderkey, CAST(row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC"
+            ") AS BIGINT) AS rn FROM orders) WHERE rn <= 2"
+        ),
+        "setop_active_buyers": (
+            # INTERSECT (distinct semantics on both engines); the two event
+            # types are picked data-dependently the same way on both sides
+            "SELECT user_id FROM events "
+            "WHERE event_type = (SELECT min(event_type) FROM events) "
+            "INTERSECT "
+            "SELECT user_id FROM events "
+            "WHERE event_type = (SELECT max(event_type) FROM events)"
         ),
         "converted_date": (
             "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM orders"

@@ -68,7 +68,7 @@ def media_meta(media: DataFrame) -> DataFrame:
     return media.select(
         "doc_id",
         "media_type",
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("content_md5"),
     )
 

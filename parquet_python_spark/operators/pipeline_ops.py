@@ -198,11 +198,11 @@ def text_stats(docs: DataFrame) -> DataFrame:
     the DuckDB oracle matches exactly)."""
     return docs.select(
         "doc_id",
-        F.length("text").alias("len_chars"),
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
-        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).alias("n_alpha"),
-        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit"),
-        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).alias("n_punct"),
+        F.length("text").cast("long").alias("len_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long").alias("n_digit"),
+        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("long").alias("n_punct"),
     )
 
 
@@ -249,8 +249,10 @@ def token_count(docs: DataFrame) -> DataFrame:
     each count as one token (JVM-side regexp, no Python)."""
     return docs.select(
         "doc_id",
-        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_ws_tokens"),
     )
 
 
