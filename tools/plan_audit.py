@@ -93,6 +93,16 @@ def main() -> None:
     ok = "CartesianProduct" not in p and "NestedLoop" not in p
     checks.append(("dedup_minhash: no cartesian/nested-loop join", ok, p))
 
+    # 10. window function plans as a single Window over one sort, no joins
+    p = _plan(qs["window_top_orders"](spark, sf_dir))
+    ok = "Window" in p and "Join" not in p
+    checks.append(("window_top_orders: Window operator, no self-join", ok, p))
+
+    # 11. INTERSECT plans as an aggregate/semi-join, never cartesian
+    p = _plan(qs["setop_active_buyers"](spark, sf_dir))
+    ok = "CartesianProduct" not in p and "NestedLoop" not in p
+    checks.append(("setop_active_buyers: no cartesian in INTERSECT", ok, p))
+
     n_bad = 0
     for name, ok, plan in checks:
         mark = "PASS" if ok else "FAIL"
