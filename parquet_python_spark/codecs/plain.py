@@ -108,12 +108,15 @@ def encode_plain_flba(values, width: int) -> bytes:
     decimals and UUIDs.  Accepts a list of equal-length bytes or an
     (n, width) uint8 ndarray; vectorized via one contiguous buffer."""
     if isinstance(values, np.ndarray) and values.dtype == np.uint8:
-        mat = np.ascontiguousarray(values).reshape(-1, width)
-        return mat.tobytes()
-    blob = b"".join(values)
-    if len(blob) != width * len(values):
+        if width:
+            mat = np.ascontiguousarray(values).reshape(-1, width)
+            return mat.tobytes()
+        return b""
+    if any(len(v) != width for v in values):
+        # per-value check: total-length-only validation would silently
+        # misencode unequal widths that happen to sum to width*n
         raise ValueError(f"flba values are not all {width} bytes")
-    return blob
+    return b"".join(values)
 
 
 def decode_plain_flba(data: bytes, count: int, width: int) -> np.ndarray:

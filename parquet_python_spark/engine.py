@@ -770,6 +770,20 @@ def encode_job(
             r["part_id"]
             for r in prev_f.select("part_id").distinct().collect()
         }
+        if mode == "files":
+            # a metrics row is only trustworthy if its backing block file
+            # still exists: a crash between stale-generation cleanup and
+            # re-encode would otherwise let a later run skip the partition
+            # and commit a snapshot with those rows missing
+            done = {
+                p
+                for p in done
+                if os.path.exists(
+                    os.path.join(
+                        blocks_path, f"blk-{p.split('#')[-1]}.parquet"
+                    )
+                )
+            }
 
     if mode == "grouped":
         salt_map = plan_salts(df, target_tokens)

@@ -133,13 +133,12 @@ def _encode_values(arr: pa.Array, kind: str, forced: str | None):
         w = int(widths[0]) if len(widths) else 0
         if len(widths) and not (widths == w).all():
             raise ValueError("flba column has unequal value widths")
-        mat = (
-            np.frombuffer(blob, dtype=np.uint8, count=len(present) * w,
-                          offset=int(offs[0]))
-            .reshape(len(present), w)
-            if len(present) and w
-            else np.empty((0, max(w, 1)), dtype=np.uint8)
-        )
+        # frombuffer/reshape are well-defined for n==0 and w==0 alike
+        # (zero-width values decode back as n empty byte strings)
+        mat = np.frombuffer(
+            blob, dtype=np.uint8, count=len(present) * w,
+            offset=int(offs[0]) if len(offs) else 0,
+        ).reshape(len(present), w)
         codec, params, payload, _ = encode_column(mat, "flba")
     else:
         np_dtype = _NUMERIC_NP[kind]
@@ -223,13 +222,16 @@ def encode_df(
         bounds = df.agg(
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
         ).collect()[0]
-        lo, hi = int(bounds["lo"]), int(bounds["hi"])
-        span = max(hi - lo + 1, 1)
-        part_expr = F.least(
-            F.lit(n_parts - 1),
-            ((F.col(key_col).cast("long") - F.lit(lo)) * n_parts / F.lit(span))
-            .cast("int"),
-        )
+        if bounds["lo"] is None:  # empty input: single (empty) partition
+            part_expr = F.lit(0)
+        else:
+            lo, hi = int(bounds["lo"]), int(bounds["hi"])
+            span = max(hi - lo + 1, 1)
+            part_expr = F.least(
+                F.lit(n_parts - 1),
+                ((F.col(key_col).cast("long") - F.lit(lo)) * n_parts / F.lit(span))
+                .cast("int"),
+            )
     elif partitioning == "hash":
         part_expr = F.pmod(
             F.crc32(F.coalesce(F.col(key_col).cast("string"), F.lit(""))),
@@ -361,6 +363,13 @@ def decode_df_pruned(
     part_ids broadcast into a semi join, so non-qualifying payloads are
     never read, shuffled, or decoded.  Callers re-apply the exact row
     predicate after decode (block stats are a superset filter)."""
+    if col_kinds.get(pred_col) not in ("int", "int96_ts"):
+        # stats exist only for numeric kinds; a NULL-stat comparison would
+        # prune EVERYTHING — a silent wrong answer, so reject loudly
+        raise ValueError(
+            f"pred_col {pred_col!r} has kind {col_kinds.get(pred_col)!r}; "
+            "min/max pruning needs an int or int96_ts column"
+        )
     keep = (
         blocks.filter(
             (F.col("column") == pred_col)
@@ -387,12 +396,19 @@ def roundtrip_filtered(
     """encode -> blocks -> min/max-pruned decode -> exact predicate.
 
     Row-level result is exact (the block-stats prune is a superset; the
-    final filter re-applies the predicate); the prune is the perf win."""
+    final filter re-applies the predicate); the prune is the perf win.
+
+    The blocks DataFrame is persisted across its two consumers (the stats
+    scan and the pruned decode) — without it the whole Arrow encode stage
+    would execute twice.  In a persistent deployment the blocks live in a
+    parquet/Iceberg table instead and the stats filter prunes at the scan."""
+    from pyspark import StorageLevel
+
     cols = list(col_kinds)
     in_schema = df.select(*cols).schema
     blocks = encode_df(
         df, key_col, col_kinds, n_parts, forced_codecs, partitioning="range"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     decoded = decode_df_pruned(
         blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
         pred_col, lo, hi,
@@ -401,7 +417,10 @@ def roundtrip_filtered(
         (F.col(pred_col) >= lo) & (F.col(pred_col) <= hi)
     )
     return out.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in in_schema.fields]
+        *[
+            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
+            for f in in_schema.fields
+        ]
     )
 
 
@@ -422,19 +441,42 @@ def roundtrip(
     )
     # cast back to the exact input Spark types (e.g. int32 vs int64)
     return decoded.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in in_schema.fields]
+        *[
+            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
+            for f in in_schema.fields
+        ]
     )
+
+
+def _cast_target(dt: T.DataType) -> T.DataType:
+    """Cast target for the round-trip's final select: element types are
+    restored exactly, but array containsNull stays True (Catalyst refuses
+    to cast nullable elements onto a non-null array type)."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(dt.elementType, True)
+    return dt
 
 
 def _arrow_safe_schema(
     schema: T.StructType, col_kinds: dict[str, str]
 ) -> T.StructType:
-    """Widen ints to long; float32 lists stay float32 — what the Arrow
-    kernels naturally produce before the final cast."""
+    """Widen ints to long — including ARRAY ELEMENT types (int_list decode
+    produces list<int64>; applyInArrow rejects schema mismatches rather
+    than coercing); float32 lists stay float32 — what the Arrow kernels
+    naturally produce before the final cast."""
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     fields = []
     for f in schema.fields:
         dt = f.dataType
-        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        if isinstance(dt, int_types):
             dt = T.LongType()
+        elif isinstance(dt, T.ArrayType):
+            elem = (
+                T.LongType() if isinstance(dt.elementType, int_types)
+                else dt.elementType
+            )
+            # decoded Arrow lists carry nullable items; the roundtrip's
+            # final cast restores the input's exact containsNull
+            dt = T.ArrayType(elem, True)
         fields.append(T.StructField(f.name, dt, True))
     return T.StructType(fields)

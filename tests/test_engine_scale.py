@@ -128,13 +128,25 @@ def test_stale_generation_cleanup(tmp_path):
     assert left == ["blk-fk2.parquet", "blk-fk3.parquet"]
 
 
-def test_encode_job_reencodes_rewritten_file(spark, tmp_path):
-    """End-to-end A1 scenario: rewrite an input file in place (same
-    name+size, different content) -> the job re-encodes it and decode
-    reflects the NEW content."""
+def _content_hash(spark, df):
     from pyspark.sql import functions as F
 
-    from parquet_python_spark.engine import decode_blocks_files, encode_job
+    row_hash = F.hash("doc_id", "tokens", "n_tok", "source").cast("long")
+    r = df.agg(
+        F.count("*").alias("rows"), F.sum(row_hash).alias("content")
+    ).collect()[0]
+    return (r["rows"], int(r["content"]))
+
+
+def test_encode_job_reencodes_rewritten_file(spark, tmp_path):
+    """End-to-end A1 scenario: rewrite an input file in place with
+    DIFFERENT content -> the job re-encodes it and the decoded table's
+    content hash matches the NEW input exactly (stale blocks would fail)."""
+    from parquet_python_spark.engine import (
+        current_blocks,
+        decode_blocks,
+        encode_job,
+    )
     from parquet_python_spark.tokengen import write_tokens_table
 
     inp = str(tmp_path / "tokens")
@@ -147,20 +159,29 @@ def test_encode_job_reencodes_rewritten_file(spark, tmp_path):
     stats2 = encode_job(spark, inp, out)
     assert stats2["resumed_skipped"] > 0
 
-    # rewrite one input file in place, preserving its size
-    files = sorted(
-        f for f in os.listdir(inp) if f.endswith(".parquet")
-    )
+    # rewrite one input file in place with different bytes (same name)
+    files = sorted(f for f in os.listdir(inp) if f.endswith(".parquet"))
     victim = os.path.join(inp, files[0])
-    size = os.path.getsize(victim)
     tmp2 = str(tmp_path / "tokens2")
     write_tokens_table(spark, tmp2, 500, seed=2)
-    os.utime(victim)  # simulate rewrite: same bytes, fresh mtime
+    donor = sorted(
+        os.path.join(tmp2, f) for f in os.listdir(tmp2) if f.endswith(".parquet")
+    )[0]
+    shutil.copyfile(donor, victim)
+    # drop Hadoop's stale .crc sidecar for the overwritten file (a real
+    # table rewrite replaces data file and checksum together)
+    crc = os.path.join(inp, f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     stats3 = encode_job(spark, inp, out)
-    # the rewritten file re-encoded; the others skipped
-    assert stats3["resumed_skipped"] < stats3["partitions"] + stats3["resumed_skipped"]
-    # decode over current blocks matches the input row count
-    dec = decode_blocks_files(spark, os.path.join(out, "blocks"))
-    assert dec.count() >= spark.read.parquet(inp).count()
+    # some partitions skipped (untouched files), some re-encoded (victim)
+    assert stats3["resumed_skipped"] > 0
+    assert stats3["partitions"] > stats3["resumed_skipped"] - 1
+    # decoded current blocks reproduce the NEW input bit-for-bit
+    dec = decode_blocks(
+        current_blocks(spark, inp, os.path.join(out, "blocks"), "files")
+    )
+    assert _content_hash(spark, dec) == _content_hash(
+        spark, spark.read.parquet(inp)
+    )
     shutil.rmtree(tmp2, ignore_errors=True)
-    assert os.path.getsize(victim) == size

@@ -215,3 +215,39 @@ def test_arrow_kernel_null_edges():
         if kind == "str":
             exp = [None if v is None else v for v in exp]
         assert got == exp
+
+
+def test_int_list_int32_roundtrip(spark):
+    """ArrayType(IntegerType) list columns survive the Arrow round-trip
+    (regression: decode built list<int64> while the output schema kept the
+    input's int32 element type, and applyInArrow rejects the mismatch)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    df = spark.range(100).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), (F.col("id") % 5).cast("int")),
+            lambda i: (i * 3).cast("int"),
+        ).alias("arr"),
+    )
+    assert isinstance(df.schema["arr"].dataType.elementType, T.IntegerType)
+    rt = roundtrip(df, "id", {"id": "int", "arr": "int_list"}, n_parts=4)
+    got = {r["id"]: list(r["arr"]) for r in rt.collect()}
+    exp = {r["id"]: list(r["arr"]) for r in df.collect()}
+    assert got == exp
+
+
+def test_flba_zero_width_and_unequal_widths():
+    from parquet_python_spark.codecs import decode_column, encode_column
+    from parquet_python_spark.codecs.plain import encode_plain_flba
+
+    # zero-width values: n empty byte strings round-trip
+    codec, params, payload, _ = encode_column([b"", b"", b""], "flba")
+    assert params["width"] == 0 and payload == b""
+    assert decode_column(codec, payload, 3, params, "flba") == [b"", b"", b""]
+    # unequal widths that sum to width*n must raise, not corrupt
+    with pytest.raises(ValueError):
+        encode_plain_flba([b"ab", b"abcd", b""], 2)

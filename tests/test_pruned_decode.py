@@ -96,3 +96,22 @@ def test_roundtrip_filtered_end_to_end(spark, keyed_df):
         for r in keyed_df.filter((F.col("k") >= 100) & (F.col("k") <= 250)).collect()
     )
     assert got == exp
+
+
+def test_pruned_decode_rejects_non_numeric_pred(spark, keyed_df):
+    from parquet_python_spark.operators.generic_codec import roundtrip_filtered
+
+    with pytest.raises(ValueError, match="min/max pruning"):
+        roundtrip_filtered(
+            keyed_df, "k", {"k": "int", "s": "str"}, "s", 0, 10, n_parts=4
+        ).collect()
+
+
+def test_range_partitioning_empty_input(spark, keyed_df):
+    from parquet_python_spark.operators.generic_codec import encode_df
+
+    empty = keyed_df.filter("k < 0")
+    blocks = encode_df(
+        empty, "k", {"k": "int", "v": "int"}, n_parts=4, partitioning="range"
+    )
+    assert blocks.count() == 0
