@@ -419,12 +419,21 @@ def embedding_near_dup_lsh(
         signs = (mat @ planes.T) > 0
         return pd.Series((signs.astype(np.int32) << np.arange(n_planes)).sum(axis=1))
 
-    bucketed = emb.withColumn("bucket", bucket(F.col("embedding")))
-    qa = (
-        _quantized_with_norm(bucketed.select("vec_id", "embedding"))
-        .join(bucketed.select("vec_id", "bucket"), "vec_id")
-        .alias("a")
+    # bucket + quantized vector + self-dot in ONE projection — no join to
+    # re-attach buckets (one narrow pass over the scan, then the bucket
+    # self-join is the only shuffle)
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
+    selfdot = F.aggregate(
+        F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    qa = emb.select(
+        "vec_id",
+        q.alias("q"),
+        selfdot.alias("nq"),
+        bucket(F.col("embedding")).alias("bucket"),
+    ).alias("a")
     qb = qa.alias("b")
     dot = F.aggregate(
         F.zip_with("a.q", "b.q", lambda x, y: x * y),
