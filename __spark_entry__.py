@@ -500,6 +500,43 @@ def _setop_active_buyers(spark, sf_dir):
     )
 
 
+def _asof_click_view(spark, sf_dir):
+    # as-of join (operator Spark lacks; task brief custom-op list): each
+    # click attributed to the user's most recent preceding view, inclusive
+    # — DuckDB's native ASOF LEFT JOIN is the oracle
+    from parquet_python_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP_NTZ; the container/session run UTC, so the
+    # cast to TIMESTAMP preserves the instant and unix_millis matches
+    # DuckDB's epoch_ms on the naive value
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", ms.alias("ts_ms")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", ms.alias("ts_ms")
+    )
+    out = asof_join(clicks, views, by="user_id", on="ts", payload_cols=["event_id", "ts_ms"])
+    return out.select("event_id", "user_id", "ts_ms", "r_event_id", "r_ts_ms")
+
+
+def _range_join_sizes(spark, sf_dir):
+    # range join via interval binning (no nested-loop/cartesian anywhere):
+    # parts joined to overlapping size bands
+    from parquet_python_spark.operators.joins import range_join_binned
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    bands = spark.range(0, 6).select(
+        (F.col("id") * 10).alias("lo"),
+        (F.col("id") * 10 + 14).alias("hi"),
+        F.col("id").alias("band_id"),
+    )
+    return range_join_binned(part, bands, "p_size", "lo", "hi", 10).select(
+        "p_partkey", "p_size", "band_id"
+    )
+
+
 def _converted_date(spark, sf_dir):
     # SURVEY.md D21 analog: logical-type conversion (timestamp -> date)
     return _t(spark, sf_dir, "orders").select(
@@ -551,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_customer_nation": _join_customer_nation,
         "window_top_orders": _window_top_orders,
         "setop_active_buyers": _setop_active_buyers,
+        "asof_click_view": _asof_click_view,
+        "range_join_sizes": _range_join_sizes,
         "converted_date": _converted_date,
     }
 
@@ -722,6 +761,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.n_name AS nation, count(*) AS n_customers "
             "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
+        ),
+        "asof_click_view": (
+            "WITH l AS (SELECT event_id, user_id, ts, epoch_ms(ts) AS ts_ms "
+            "FROM events WHERE event_type = 'click'), "
+            "r AS (SELECT event_id, user_id, ts, epoch_ms(ts) AS ts_ms "
+            "FROM events WHERE event_type = 'view') "
+            "SELECT l.event_id, l.user_id, l.ts_ms, "
+            "r.event_id AS r_event_id, r.ts_ms AS r_ts_ms "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "range_join_sizes": (
+            "SELECT p.p_partkey, p.p_size, b.band_id FROM part p JOIN "
+            "(SELECT i * 10 AS lo, i * 10 + 14 AS hi, i AS band_id "
+            "FROM range(0, 6) AS t(i)) b "
+            "ON p.p_size BETWEEN b.lo AND b.hi"
         ),
         "window_top_orders": (
             "SELECT o_custkey, o_orderkey, rn FROM ("
