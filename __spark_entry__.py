@@ -514,8 +514,14 @@ def _asof_click_view(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", ms.alias("ts_ms")
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", ms.alias("ts_ms")
+    # dedupe views per (user, instant): among equal-ts ties Spark and
+    # DuckDB ASOF could legitimately pick different rows — collapsing to
+    # max(event_id) makes the answer unique on both sides
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("user_id", "ts", "event_id", ms.alias("ts_ms"))
     )
     out = asof_join(clicks, views, by="user_id", on="ts", payload_cols=["event_id", "ts_ms"])
     return out.select("event_id", "user_id", "ts_ms", "r_event_id", "r_ts_ms")
@@ -765,8 +771,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_view": (
             "WITH l AS (SELECT event_id, user_id, ts, epoch_ms(ts) AS ts_ms "
             "FROM events WHERE event_type = 'click'), "
-            "r AS (SELECT event_id, user_id, ts, epoch_ms(ts) AS ts_ms "
-            "FROM events WHERE event_type = 'view') "
+            "r AS (SELECT max(event_id) AS event_id, user_id, ts, "
+            "epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'view' "
+            "GROUP BY user_id, ts) "
             "SELECT l.event_id, l.user_id, l.ts_ms, "
             "r.event_id AS r_event_id, r.ts_ms AS r_ts_ms "
             "FROM l ASOF LEFT JOIN r "

@@ -91,6 +91,9 @@ _NUMERIC_NP = {
 # target rows per encode partition; partition count grows with data size
 TARGET_ROWS_PER_PART = 262_144
 
+# single-slot cache registry for roundtrip_filtered's persisted blocks
+_last_filtered_blocks = None
+
 
 def _combined(arr):
     if isinstance(arr, pa.ChunkedArray):
@@ -400,8 +403,12 @@ def roundtrip_filtered(
 
     The blocks DataFrame is persisted across its two consumers (the stats
     scan and the pruned decode) — without it the whole Arrow encode stage
-    would execute twice.  In a persistent deployment the blocks live in a
-    parquet/Iceberg table instead and the stats filter prunes at the scan."""
+    would execute twice.  The cache is released when the NEXT call comes
+    in (module-level single-slot registry), bounding the session to one
+    retained encode instead of one per call.  In a persistent deployment
+    the blocks live in a parquet/Iceberg table instead and the stats
+    filter prunes at the scan."""
+    global _last_filtered_blocks
     from pyspark import StorageLevel
 
     cols = list(col_kinds)
@@ -409,6 +416,12 @@ def roundtrip_filtered(
     blocks = encode_df(
         df, key_col, col_kinds, n_parts, forced_codecs, partitioning="range"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if _last_filtered_blocks is not None:
+        try:
+            _last_filtered_blocks.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 - session may already be gone
+            pass
+    _last_filtered_blocks = blocks
     decoded = decode_df_pruned(
         blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
         pred_col, lo, hi,

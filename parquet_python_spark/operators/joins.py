@@ -36,7 +36,10 @@ def asof_join(
     """
     r_payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__p")
     lrow = F.struct(*[F.col(c) for c in left.columns]).alias("__lrow")
-    rp = right.select(
+    # NULL 'on' never satisfies r.on <= l.on (ASOF semantics): a NULL right
+    # timestamp would otherwise sort NULLS FIRST and become the fallback
+    # match for the whole partition
+    rp = right.filter(F.col(on).isNotNull()).select(
         F.col(by).alias("__by"), F.col(on).alias("__on"),
         F.lit(0).alias("__side"), r_payload,
     )

@@ -361,18 +361,22 @@ def ann_brute_force_topk(
     )
 
 
-def _quantized_with_norm(emb: DataFrame):
+def _quantized_with_norm(emb: DataFrame, *extra_cols):
     """Embedding quantized to exact integers (floor(x*1000)) + its integer
     self-dot.  Exact-integer cosine makes the result bit-stable across
     engines: dot and norms are exact bigints (well under 2^52), and
-    dot/sqrt(na*nb) is then the same IEEE double everywhere."""
+    dot/sqrt(na*nb) is then the same IEEE double everywhere.
+
+    ``extra_cols``: additional Column expressions projected in the SAME
+    single pass (e.g. an LSH bucket) — this helper is the one owner of the
+    quantization formula the exact/LSH near-dup pair must share."""
     q = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
     selfdot = F.aggregate(
         F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
-    return emb.select("vec_id", q.alias("q"), selfdot.alias("nq"))
+    return emb.select("vec_id", q.alias("q"), selfdot.alias("nq"), *extra_cols)
 
 
 def embedding_near_dup(emb: DataFrame, min_cosine: float = 0.8) -> DataFrame:
@@ -421,18 +425,10 @@ def embedding_near_dup_lsh(
 
     # bucket + quantized vector + self-dot in ONE projection — no join to
     # re-attach buckets (one narrow pass over the scan, then the bucket
-    # self-join is the only shuffle)
-    q = F.transform(
-        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
-    )
-    selfdot = F.aggregate(
-        F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
-    qa = emb.select(
-        "vec_id",
-        q.alias("q"),
-        selfdot.alias("nq"),
-        bucket(F.col("embedding")).alias("bucket"),
+    # self-join is the only shuffle); quantization shared with the exact
+    # baseline via _quantized_with_norm
+    qa = _quantized_with_norm(
+        emb, bucket(F.col("embedding")).alias("bucket")
     ).alias("a")
     qb = qa.alias("b")
     dot = F.aggregate(

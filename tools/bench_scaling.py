@@ -48,6 +48,12 @@ def src_fingerprint() -> str:
         for fp in files:
             with open(fp, "rb") as f:
                 h.update(f.read())
+    # the harness itself (warm-up policy / Spark conf / timing protocol) is
+    # part of the experiment; the host identity guards against merging
+    # bests measured on a different machine
+    with open(os.path.abspath(__file__), "rb") as f:
+        h.update(f.read())
+    h.update(os.uname().nodename.encode())
     return h.hexdigest()[:16]
 
 
@@ -250,13 +256,16 @@ def main() -> None:
     # accumulation.  This converges the best-of toward the per-level time
     # floors instead of re-rolling ±10-20% VM noise on every invocation.
     fp = src_fingerprint()
+    seeds: dict[int, dict] = {}
     if os.path.exists("BENCH/scaling.json"):
         with open("BENCH/scaling.json") as f:
             prev_run = json.load(f)
         if prev_run.get("src_fingerprint") == fp:
-            for lv_str, r in prev_run.get("levels", {}).items():
-                if int(lv_str) in levels:
-                    results[int(lv_str)] = dict(r)
+            seeds = {
+                int(lv): dict(r)
+                for lv, r in prev_run.get("levels", {}).items()
+                if int(lv) in levels
+            }
             total_repeats += prev_run.get("total_repeats", 0)
     for _rep in range(repeats):
         for cpus in levels:
@@ -283,6 +292,19 @@ def main() -> None:
                     if r[f"{metric}_tokens_per_s"] > best[f"{metric}_tokens_per_s"]:
                         best[f"{metric}_tokens_per_s"] = r[f"{metric}_tokens_per_s"]
                         best[t] = r[t]
+
+    # fold in prior-run bests AFTER fresh measurements exist, and only when
+    # the prior level measured the IDENTICAL input (n_tokens match) — a
+    # regenerated dataset or different --rows never merges, and only the
+    # timing fields carry over (n_tokens/partitions stay from this run)
+    for lv, seed in seeds.items():
+        cur = results.get(lv)
+        if cur is None or seed.get("n_tokens") != cur.get("n_tokens"):
+            continue
+        for metric, t in (("encode", "encode_s"), ("decode", "decode_s")):
+            if seed[f"{metric}_tokens_per_s"] > cur[f"{metric}_tokens_per_s"]:
+                cur[f"{metric}_tokens_per_s"] = seed[f"{metric}_tokens_per_s"]
+                cur[t] = seed[t]
 
     levels = sorted(levels)
     parts = {results[lv]["partitions"] for lv in levels}
