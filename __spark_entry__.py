@@ -246,6 +246,59 @@ def _rt_fixture_nation(spark, sf_dir):
     )
 
 
+_last_tokens_blocks = None
+
+
+def _rt_tokens_pruned(spark, sf_dir):
+    """Engine-path zone-map-pruned decode: a tokens table (BASELINE input
+    shape, derived deterministically from `documents` so DuckDB can
+    reproduce it) is range-clustered by n_tok, encoded zero-shuffle, then
+    decoded through decode_blocks_pruned — blocks whose n_tok [min,max]
+    stats miss [64,128] are never decoded.  Output exploded to scalar rows
+    (driver canonicalizer can't hash arrays)."""
+    global _last_tokens_blocks
+    from pyspark import StorageLevel
+
+    from parquet_python_spark.engine import decode_blocks_pruned, encode_table_narrow
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (F.col("n_chars") % 240 + 16).cast("int").alias("n_tok"),
+            F.col("lang").alias("source"),
+            F.col("doc_id").cast("long").alias("did"),
+        )
+        .withColumn(
+            "tokens",
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tok") - 1),
+                lambda i: ((F.col("did") * 31 + i * 7) % 65536).cast("int"),
+            ),
+        )
+        .select("doc_id", "tokens", "n_tok", "source")
+        .repartitionByRange(8, "n_tok")  # clustered layout -> selective stats
+    )
+    blocks = encode_table_narrow(tok, snapshot_id="drv").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if _last_tokens_blocks is not None:
+        try:
+            _last_tokens_blocks.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 - session may already be gone
+            pass
+    _last_tokens_blocks = blocks
+    dec = decode_blocks_pruned(blocks, "n_tok", 64, 128)
+    return dec.select(
+        "doc_id",
+        F.posexplode("tokens").alias("pos", "token"),
+        "n_tok",
+        "source",
+    ).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token", "n_tok", "source"
+    )
+
+
 def _converted_bson(spark, sf_dir):
     # D21 BSON converted type (reference converted_types.py:85-86):
     # JSON -> BSON bytes -> parsed back to JSON through the engine decoder.
@@ -568,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_part_flba": _rt_part_flba,
         "rt_orders_int96": _rt_orders_int96,
         "rt_fixture_nation": _rt_fixture_nation,
+        "rt_tokens_pruned": _rt_tokens_pruned,
         "converted_bson": _converted_bson,
         "describe_nation": _describe_nation,
         "converted_types": _converted_types,
@@ -620,6 +674,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings"
         ),
         "rt_customer_doubles": "SELECT c_custkey, c_acctbal FROM customer",
+        "rt_tokens_pruned": (
+            "WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars % 240 + 16 AS INT) AS n_tok, lang AS source, "
+            "CAST(doc_id AS BIGINT) AS did FROM documents) "
+            "SELECT doc_id, "
+            "CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, "
+            "CAST(unnest(toks) AS INT) AS token, n_tok, source FROM ("
+            "SELECT doc_id, n_tok, source, "
+            "list_transform(range(0, n_tok), "
+            "i -> CAST((did*31 + i*7) % 65536 AS INT)) AS toks "
+            "FROM tok WHERE n_tok BETWEEN 64 AND 128)"
+        ),
         "rt_region_nation_supplier": (
             "SELECT r_regionkey AS k, r_name AS name, 'region' AS tbl FROM region "
             "UNION ALL "

@@ -66,6 +66,12 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("checksum", T.LongType(), False),
         T.StructField("snapshot_id", T.StringType(), False),
         T.StructField("encode_ms", T.DoubleType(), False),
+        # per-block min/max of the column's values (int columns only; the
+        # Statistics the reference parses but never uses,
+        # /root/reference/parquet/parquet.thrift:198-206) — drive the
+        # zone-map prune in decode_blocks_pruned / decode_blocks_files_pruned
+        T.StructField("stat_min", T.LongType(), True),
+        T.StructField("stat_max", T.LongType(), True),
     ]
 )
 
@@ -87,6 +93,8 @@ _BLOCKS_ARROW_SCHEMA = pa.schema(
         ("checksum", pa.int64()),
         ("snapshot_id", pa.string()),
         ("encode_ms", pa.float64()),
+        ("stat_min", pa.int64()),
+        ("stat_max", pa.int64()),
     ]
 )
 
@@ -199,7 +207,10 @@ def _encode_partition_table(
 
     rows = []
 
-    def add(col, codec, params, payload, n_values, raw_bytes, ref_bytes=None):
+    def add(
+        col, codec, params, payload, n_values, raw_bytes,
+        ref_bytes=None, stats=(None, None),
+    ):
         rows.append(
             {
                 "part_id": part_id,
@@ -216,6 +227,8 @@ def _encode_partition_table(
                 "checksum": zlib.crc32(payload),
                 "snapshot_id": snapshot_id,
                 "encode_ms": (time.perf_counter() - t0) * 1000.0,
+                "stat_min": stats[0],
+                "stat_max": stats[1],
             }
         )
 
@@ -226,7 +239,11 @@ def _encode_partition_table(
             # honest <=-size gate: the reference's own RLE/dict wire format
             # on the same values (dict page + hybrid indices, SURVEY.md D15/D16)
             ref_bytes = len(encode_dict(np.asarray(vals, dtype=np.int32), "int32"))
-        add(col, codec, params, payload, len(vals), 4 * len(vals), ref_bytes)
+        # zone-map stats: one vectorized min/max pass (~0.5% of encode cost)
+        stats = (
+            (int(vals.min()), int(vals.max())) if len(vals) else (None, None)
+        )
+        add(col, codec, params, payload, len(vals), 4 * len(vals), ref_bytes, stats)
 
     for col in ("doc_id", "source"):
         arr = tbl.column(col).combine_chunks()
@@ -640,6 +657,109 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
         return _decode_part_table(tbl)
 
     return blocks.groupBy("part_id").applyInArrow(dec, schema=DECODED_SCHEMA)
+
+
+def _pruned_residual(decoded: DataFrame, column: str, lo: int, hi: int) -> DataFrame:
+    """Exact row-level predicate re-applied after the block-level prune
+    (block stats give a superset; this makes the result exact)."""
+    if column == "n_tok":
+        return decoded.filter(F.col("n_tok").between(lo, hi))
+    if column == "tokens":
+        # block semantics: skip blocks with no token in [lo, hi]; row
+        # semantics: keep rows containing at least one such token
+        return decoded.filter(
+            F.exists("tokens", lambda t: (t >= lo) & (t <= hi))
+        )
+    raise ValueError(f"no block stats for column {column!r}")
+
+
+def decode_blocks_pruned(
+    blocks: DataFrame, column: str, lo: int, hi: int
+) -> DataFrame:
+    """Zone-map-pruned decode: only partitions whose `column` stats range
+    intersects [lo, hi] are shuffled + decoded; the exact predicate is
+    re-applied on the decoded rows.  Blocks written before stats existed
+    (stat_min null) are never pruned — correctness over savings."""
+    with_stats = blocks.filter(
+        (F.col("column") == column) & F.col("stat_min").isNotNull()
+    ).select("part_id", "stat_min", "stat_max")
+    keep = with_stats.filter(
+        (F.col("stat_max") >= lo) & (F.col("stat_min") <= hi)
+    ).select("part_id")
+    # parts lacking stats rows entirely (legacy blocks) must survive
+    no_stats = blocks.select("part_id").distinct().join(
+        with_stats.select("part_id"), "part_id", "left_anti"
+    )
+    surviving = blocks.join(
+        F.broadcast(keep.union(no_stats)), "part_id", "left_semi"
+    )
+    return _pruned_residual(decode_blocks(surviving), column, lo, hi)
+
+
+def decode_blocks_files_pruned(
+    spark: SparkSession, blocks_path: str, column: str, lo: int, hi: int
+) -> DataFrame:
+    """Shuffle-free zone-map-pruned decode of a blocks directory.
+
+    Two-pass per file: (1) read only the stats columns — parquet columnar
+    layout means the payload bytes are never touched for this pass; (2) for
+    surviving part_ids, read + decode the payload rows.  Files where no part
+    survives cost one footer + three tiny columns; at 100 TB with a
+    range-clustered layout that is the difference between scanning the
+    table and scanning the matching slice.
+    """
+    files = list_input_files(blocks_path)
+    paths_df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)], "file_idx int, path string"
+    ).repartition(max(len(files), 1), "file_idx")
+
+    def dec(batches):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for path in batch.column("path").to_pylist():
+                meta = pq.read_table(
+                    path,
+                    columns=["part_id", "column", "stat_min", "stat_max"],
+                    use_threads=False,
+                )
+                if meta.num_rows == 0:
+                    continue
+                is_col = pc.equal(meta.column("column"), column)
+                has_stats = pc.is_valid(meta.column("stat_min"))
+                hit = pc.and_(
+                    pc.and_(is_col, has_stats),
+                    pc.and_(
+                        pc.greater_equal(meta.column("stat_max"), lo),
+                        pc.less_equal(meta.column("stat_min"), hi),
+                    ),
+                )
+                keep = set(
+                    pc.filter(meta.column("part_id"), hit).to_pylist()
+                )
+                # legacy parts with no stats row for `column`: keep
+                stats_parts = set(
+                    pc.filter(
+                        meta.column("part_id"), pc.and_(is_col, has_stats)
+                    ).to_pylist()
+                )
+                keep |= set(meta.column("part_id").to_pylist()) - stats_parts
+                if not keep:
+                    continue  # payload never read
+                tbl = pq.read_table(path, use_threads=False)
+                pids = tbl.column("part_id").to_pylist()
+                start = 0
+                for i in range(1, len(pids) + 1):
+                    if i == len(pids) or pids[i] != pids[start]:
+                        if pids[start] in keep:
+                            yield from _decode_part_table(
+                                tbl.slice(start, i - start)
+                            ).to_batches()
+                        start = i
+
+    decoded = paths_df.mapInArrow(dec, schema=DECODED_SCHEMA)
+    return _pruned_residual(decoded, column, lo, hi)
 
 
 def current_blocks(

@@ -205,3 +205,93 @@ def test_files_mode_splits_large_files_by_row_group(spark, tmp_path):
     src = spark.read.parquet(inp)
     assert _as_sorted_rows(decoded) == _as_sorted_rows(src)
 
+
+
+# ------------------------------------------------- zone-map pruned decode
+
+def test_block_stats_present(spark, tokens_df):
+    """Every int-column block row carries min/max zone-map stats."""
+    blocks = encode_table(tokens_df, snapshot_id="t")
+    rows = blocks.filter(F.col("column").isin("tokens", "n_tok")).select(
+        "column", "stat_min", "stat_max"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["stat_min"] is not None and r["stat_min"] <= r["stat_max"]
+    # string columns carry no int stats
+    s = blocks.filter(F.col("column") == "doc_id").select("stat_min").collect()
+    assert all(r["stat_min"] is None for r in s)
+
+
+@pytest.fixture(scope="module")
+def clustered_blocks(spark, tokens_df, tmp_path_factory):
+    """tokens table range-clustered by n_tok -> selective zone maps."""
+    base = tmp_path_factory.mktemp("pruned")
+    inp = str(base / "inp")
+    tokens_df.repartitionByRange(6, "n_tok").write.parquet(inp)
+    from parquet_python_spark.engine import encode_table_files
+
+    blocks_dir = str(base / "blocks")
+    encode_table_files(spark, inp, snapshot_id="t").write.parquet(blocks_dir)
+    return inp, blocks_dir
+
+
+def test_decode_pruned_ntok_exact_and_selective(spark, tokens_df, clustered_blocks):
+    from parquet_python_spark.engine import decode_blocks_pruned
+
+    _inp, blocks_dir = clustered_blocks
+    blocks = spark.read.parquet(blocks_dir)
+    lo, hi = 16, 32
+    want = _as_sorted_rows(tokens_df.filter(F.col("n_tok").between(lo, hi)))
+    got = _as_sorted_rows(decode_blocks_pruned(blocks, "n_tok", lo, hi))
+    assert got == want and len(want) > 0
+
+    # the zone maps actually prune: surviving parts < total parts
+    stats = blocks.filter(F.col("column") == "n_tok")
+    total = stats.select("part_id").distinct().count()
+    surviving = stats.filter(
+        (F.col("stat_max") >= lo) & (F.col("stat_min") <= lo + 16)
+    ).select("part_id").distinct().count()
+    assert surviving < total
+
+
+def test_decode_files_pruned_matches_shuffled(spark, tokens_df, clustered_blocks):
+    from parquet_python_spark.engine import decode_blocks_files_pruned
+
+    _inp, blocks_dir = clustered_blocks
+    lo, hi = 16, 32
+    want = _as_sorted_rows(tokens_df.filter(F.col("n_tok").between(lo, hi)))
+    got = _as_sorted_rows(
+        decode_blocks_files_pruned(spark, blocks_dir, "n_tok", lo, hi)
+    )
+    assert got == want
+
+
+def test_decode_pruned_token_value_range(spark, tokens_df, clustered_blocks):
+    """Pruning on token VALUES: keep rows containing a token in [lo, hi];
+    blocks whose token range misses it are skipped wholesale."""
+    from parquet_python_spark.engine import decode_blocks_pruned
+
+    _inp, blocks_dir = clustered_blocks
+    blocks = spark.read.parquet(blocks_dir)
+    lo, hi = 0, 3
+    want = _as_sorted_rows(
+        tokens_df.filter(F.exists("tokens", lambda t: (t >= lo) & (t <= hi)))
+    )
+    got = _as_sorted_rows(decode_blocks_pruned(blocks, "tokens", lo, hi))
+    assert got == want
+
+
+def test_decode_pruned_empty_range(spark, clustered_blocks):
+    from parquet_python_spark.engine import (
+        decode_blocks_files_pruned,
+        decode_blocks_pruned,
+    )
+
+    _inp, blocks_dir = clustered_blocks
+    blocks = spark.read.parquet(blocks_dir)
+    assert decode_blocks_pruned(blocks, "n_tok", -10, -5).count() == 0
+    assert (
+        decode_blocks_files_pruned(spark, blocks_dir, "n_tok", -10, -5).count()
+        == 0
+    )
