@@ -81,11 +81,49 @@ def pack_bits_lsb(values: np.ndarray, width: int) -> bytes:
         shifts = np.arange(width, dtype=np.uint64)
         bits = ((v64[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
         return np.packbits(bits.ravel(), bitorder="little").tobytes()
-    # 8 consecutive values occupy exactly `width` bytes; build each group's
-    # bit block in <=4 little-endian uint64 words with 8 vector shifts.
-    # Full groups pack from a reshaped VIEW of the input (no copy, any int
-    # dtype); only the <=7-value tail is padded separately — minimizing
-    # memory traffic is what lets 32 concurrent workers scale.
+    # Main path: 64-value superblocks.  64 values at `width` bits occupy
+    # exactly `width` little-endian uint64 words — a fully CONTIGUOUS block,
+    # so the byte stream is one sequential tobytes (memcpy) with no strided
+    # gather and no per-group byte slicing.  The bit stream is identical to
+    # eight consecutive 8-value groups (continuous LSB-first), so the wire
+    # format the reference reads is unchanged.  Minimizing memory passes is
+    # what lets 32 concurrent workers scale on one box.
+    full64 = n - (n % 64)
+    parts = []
+    if full64:
+        g = full64 // 64
+        V = vals[:full64].reshape(g, 64)
+        W = np.zeros((g, width), dtype=np.uint64)
+        chunk = _cache_chunk(width)
+        # cache-blocked: the 64 strided column passes stay inside one
+        # L2-sized row chunk (4x faster than streaming the full matrix
+        # through 64 times; measured on 8M x w17)
+        for s in range(0, g, chunk):
+            e = min(s + chunk, g)
+            Vc, Wc = V[s:e], W[s:e]
+            for j in range(64):
+                bitpos = j * width
+                k, shift = bitpos >> 6, bitpos & 63
+                col = Vc[:, j].astype(np.uint64)
+                Wc[:, k] |= col << np.uint64(shift)
+                if shift and shift + width > 64:
+                    Wc[:, k + 1] |= col >> np.uint64(64 - shift)
+        parts.append(W.tobytes())
+    if n % 64:
+        parts.append(_pack_groups8(vals[full64:], width))
+    return b"".join(parts)
+
+
+def _cache_chunk(width: int) -> int:
+    """Superblock rows per cache-blocked pass: ~1.5 MB working set
+    (8*width B of words + ~256 B of values per row)."""
+    return max(512, min(8192, 1_500_000 // (8 * width + 256)))
+
+
+def _pack_groups8(vals: np.ndarray, width: int) -> bytes:
+    """Pack < 64 values in 8-value groups (each exactly `width` bytes);
+    the final partial group is zero-padded to 8 values."""
+    n = len(vals)
     full = n - (n % 8)
     groups = full // 8
     n_words = (8 * width + 63) // 64
@@ -100,7 +138,6 @@ def pack_bits_lsb(values: np.ndarray, width: int) -> bytes:
             W[:, k] |= col << np.uint64(shift)
             if shift and shift + width > 64:
                 W[:, k + 1] |= col >> np.uint64(64 - shift)
-        # first `width` bytes of each group's little-endian word block
         parts.append(W.view(np.uint8).reshape(groups, n_words * 8)[:, :width].tobytes())
     if n % 8:
         tail = np.zeros(8, dtype=np.uint64)
@@ -137,8 +174,47 @@ def unpack_bits_lsb(
         bits = np.unpackbits(raw, bitorder="little", count=count * width)
         weights = (np.int64(1) << np.arange(width, dtype=np.int64))
         return bits.reshape(count, width).astype(np.int64) @ weights
-    # inverse of the grouped word packing: pad each width-byte group to its
-    # word block, then extract the 8 values with vector shifts.
+    # Main path mirrors the 64-value superblock packing: `width` uint64
+    # words per 64 values, read as a zero-copy VIEW of the input bytes (no
+    # pad-to-word-block copy pass); values extract with vector shifts
+    # straight into the result buffer.  Only the <64-value tail pays the
+    # padded 8-value-group path.
+    mask = np.uint64((1 << width) - 1)
+    groups64 = count // 64
+    need64 = groups64 * width * 8
+    res = np.empty(count, dtype=np.uint32 if small else np.uint64)
+    if groups64:
+        try:
+            W = raw[:need64].view(np.uint64).reshape(groups64, width)
+        except ValueError:  # non-contiguous slice: one defensive copy
+            W = np.frombuffer(
+                raw[:need64].tobytes(), dtype=np.uint64
+            ).reshape(groups64, width)
+        out = res[: groups64 * 64].reshape(groups64, 64)
+        chunk = _cache_chunk(width)
+        for s in range(0, groups64, chunk):
+            e = min(s + chunk, groups64)
+            Wc, oc = W[s:e], out[s:e]
+            for j in range(64):
+                bitpos = j * width
+                k, shift = bitpos >> 6, bitpos & 63
+                v = Wc[:, k] >> np.uint64(shift)
+                if shift and shift + width > 64:
+                    v = v | (Wc[:, k + 1] << np.uint64(64 - shift))
+                oc[:, j] = v & mask  # store downcasts to the narrow buffer
+    tail_count = count - groups64 * 64
+    if tail_count:
+        res[groups64 * 64 :] = _unpack_groups8(
+            raw[need64:], width, tail_count, mask, small
+        )
+    return res.view(final)
+
+
+def _unpack_groups8(
+    raw: np.ndarray, width: int, count: int, mask: np.uint64, small: bool
+) -> np.ndarray:
+    """Unpack < 64 values: pad each width-byte 8-value group to its word
+    block, then extract with vector shifts."""
     groups = (count + 7) // 8
     need = groups * width
     if len(raw) < need:
@@ -147,7 +223,6 @@ def unpack_bits_lsb(
     block = np.zeros((groups, n_words * 8), dtype=np.uint8)
     block[:, :width] = raw[:need].reshape(groups, width)
     W = block.view(np.uint64)
-    mask = np.uint64((1 << width) - 1)
     out = np.empty((groups, 8), dtype=np.uint32 if small else np.uint64)
     for j in range(8):
         bitpos = j * width
@@ -155,5 +230,5 @@ def unpack_bits_lsb(
         v = W[:, k] >> np.uint64(shift)
         if shift and shift + width > 64:
             v = v | (W[:, k + 1] << np.uint64(64 - shift))
-        out[:, j] = v & mask  # store downcasts to the narrow buffer
-    return out.reshape(-1)[:count].view(final)
+        out[:, j] = v & mask
+    return out.reshape(-1)[:count]

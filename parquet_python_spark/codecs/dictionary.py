@@ -96,7 +96,12 @@ def decode_dict_parts(data: bytes, n: int, physical_type: str = "int32"):
         body_start = 4 + n_dict * itemsize
         uniques = _PLAIN_DEC[physical_type](data[4:body_start], n_dict)
     width = data[body_start]
-    indices = decode_hybrid(data[body_start + 1 :], width, n)
+    # int32 indices when width allows: halves the unpack output traffic
+    # (indices are always < |dict| <= 2^31)
+    indices = decode_hybrid(
+        data[body_start + 1 :], width, n,
+        np.int32 if width <= 31 else np.int64,
+    )
     return uniques, indices
 
 
@@ -122,7 +127,10 @@ def decode_dict(data: bytes, n: int, physical_type: str = "int32"):
         body_start = fo_pos + n_dict * itemsize
         uniques = _PLAIN_DEC[physical_type](data[fo_pos:body_start], n_dict)
     width = data[body_start]
-    indices = decode_hybrid(data[body_start + 1 :], width, n)
+    indices = decode_hybrid(
+        data[body_start + 1 :], width, n,
+        np.int32 if width <= 31 else np.int64,
+    )
     if physical_type == "byte_array":
         return uniques[indices]
     return uniques[np.asarray(indices)]

@@ -38,7 +38,12 @@ from .plain import (
     encode_plain_int32,
     encode_plain_int64,
 )
-from .rle import decode_hybrid, encode_hybrid, hybrid_size_estimate
+from .rle import (
+    decode_hybrid,
+    encode_hybrid,
+    encode_hybrid_params,
+    hybrid_size_estimate,
+)
 
 __all__ = ["encode_column", "decode_column", "chunk_stats", "select_codec"]
 
@@ -153,7 +158,7 @@ def _enc_int(vals: np.ndarray, codec: str) -> tuple[dict, bytes]:
         return params, payload
     if codec == "rle":
         w = width_from_max_int(int(np.max(vals, initial=0)))
-        return {"width": w}, encode_hybrid(vals, w)
+        return encode_hybrid_params(vals, w)
     if codec == "dict":
         fits32 = len(vals) == 0 or (vals.min() >= -(2**31) and vals.max() < 2**31)
         ptype = "int32" if fits32 else "int64"
@@ -186,7 +191,9 @@ def _dec_int(
     if codec == "delta":
         return decode_delta(data, n, params)
     if codec == "rle":
-        return decode_hybrid(data, params["width"], n, out_dtype)
+        return decode_hybrid(
+            data, params["width"], n, out_dtype, hdr2=params.get("hdr2", False)
+        )
     if codec == "dict":
         vals = decode_dict(data, n, params.get("ptype", "int32"))
         if prefer32 and vals.dtype == np.int32:

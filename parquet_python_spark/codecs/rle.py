@@ -35,7 +35,13 @@ from .bitstream import (
     width_from_max_int,
 )
 
-__all__ = ["encode_hybrid", "decode_hybrid", "hybrid_size_estimate", "MIN_RLE_RUN"]
+__all__ = [
+    "encode_hybrid",
+    "encode_hybrid_params",
+    "decode_hybrid",
+    "hybrid_size_estimate",
+    "MIN_RLE_RUN",
+]
 
 # A run must be at least this long to be worth an RLE header; 16 guarantees
 # that after donating up to 7 values to 8-align the preceding bit-packed run
@@ -62,29 +68,91 @@ def _emit_bitpacked(out: list[bytes], seg: np.ndarray, width: int) -> None:
     out.append(pack_bits_lsb(seg, width))
 
 
-def encode_hybrid(values: np.ndarray, width: int) -> bytes:
-    """Encode ``values`` (non-negative, < 2**width) as a raw hybrid run stream.
+# Fixed-stride vectorized RLE layout: every run's header is a 2-byte
+# zero-PADDED varint (first byte always sets the continuation bit, second
+# byte < 0x80) — still a legal ULEB128 the reference's
+# read_unsigned_var_int (encoding.py:97-107) decodes identically, but the
+# uniform (2 + value-bytes) record stride lets BOTH encode and decode run
+# as single numpy reshape/scatter passes (no per-run Python).  Chosen only
+# for run-dominated chunks, where the +1 header byte per run is noise.
+RLE2_MAX_COUNT = (1 << 13) - 1  # header = count << 1 must fit 14 bits
 
-    No length prefix is included; callers that need the reference's
-    4-byte-length framing (encoding.py:224-229) prepend it themselves.
-    """
+
+def _encode_rle2(run_values: np.ndarray, counts: np.ndarray, width: int) -> bytes:
+    wb = (width + 7) // 8
+    if int(counts.max(initial=0)) > RLE2_MAX_COUNT:
+        # split over-long runs into RLE2_MAX_COUNT chunks (vectorized)
+        reps = -(-counts // RLE2_MAX_COUNT)
+        run_values = np.repeat(run_values, reps)
+        new_counts = np.full(int(reps.sum()), RLE2_MAX_COUNT, dtype=np.int64)
+        new_counts[np.cumsum(reps) - 1] = counts - (reps - 1) * RLE2_MAX_COUNT
+        counts = new_counts
+    R = len(counts)
+    h = counts.astype(np.uint32) << 1
+    B = np.empty((R, 2 + wb), dtype=np.uint8)
+    B[:, 0] = ((h & 0x7F) | 0x80).astype(np.uint8)
+    B[:, 1] = (h >> 7).astype(np.uint8)
+    B[:, 2:] = (
+        np.ascontiguousarray(run_values)
+        .astype("<u8")
+        .view(np.uint8)
+        .reshape(R, 8)[:, :wb]
+    )
+    return B.tobytes()
+
+
+def _decode_rle2(data, width: int, n: int | None, dtype) -> np.ndarray:
+    wb = (width + 7) // 8
+    rec = 2 + wb
+    raw = (
+        np.frombuffer(data, dtype=np.uint8)
+        if not isinstance(data, np.ndarray)
+        else data
+    )
+    R = len(raw) // rec
+    B = raw[: R * rec].reshape(R, rec)
+    counts = (
+        (B[:, 0].astype(np.uint32) & 0x7F) | (B[:, 1].astype(np.uint32) << 7)
+    ) >> 1
+    vb = np.zeros((R, 8), dtype=np.uint8)
+    vb[:, :wb] = B[:, 2:]
+    values = vb.view("<u8").ravel().astype(dtype)
+    res = np.repeat(values, counts.astype(np.int64))
+    return res[:n] if n is not None and len(res) > n else res
+
+
+def _encode_hybrid_impl(values: np.ndarray, width: int) -> tuple[bytes, bool]:
     vals = np.asarray(values)
     if vals.dtype.kind not in "iu":
         vals = vals.astype(np.int64)
     n = len(vals)
     if n == 0:
-        return b""
+        return b"", False
     if width == 0:
         # All values are zero: one RLE run covers everything.
-        return encode_varint(n << 1) + _rle_value_bytes(0, 0)
+        return encode_varint(n << 1) + _rle_value_bytes(0, 0), False
 
-    out: list[bytes] = []
     boundaries = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+    counts = np.diff(boundaries, prepend=0, append=n)
+    long_mask = counts >= MIN_RLE_RUN
+
+    if not long_mask.any():
+        # no long runs (e.g. shuffled dictionary indices): one bit-packed
+        # run, no per-run bookkeeping arrays at all
+        out0: list[bytes] = []
+        _emit_bitpacked(out0, vals, width)
+        return b"".join(out0), False
+
+    # Vectorized fixed-stride layout when the chunk is run-dominated AND
+    # has enough runs that the per-run Python loop below would dominate.
+    if len(counts) >= 1024 and int(counts[long_mask].sum()) >= int(0.95 * n):
+        starts = np.concatenate(([0], boundaries))
+        return _encode_rle2(vals[starts], counts, width), True
+
     starts = np.concatenate(([0], boundaries))
     ends = np.concatenate((boundaries, [n]))
-    counts = ends - starts
-    long_idx = np.flatnonzero(counts >= MIN_RLE_RUN)
-
+    out: list[bytes] = []
+    long_idx = np.flatnonzero(long_mask)
     pos = 0
     for ri in long_idx:
         s = int(starts[ri])
@@ -97,11 +165,36 @@ def encode_hybrid(values: np.ndarray, width: int) -> bytes:
         out.append(_rle_value_bytes(int(vals[s]), width))
         pos = e
     _emit_bitpacked(out, vals[pos:], width)
-    return b"".join(out)
+    return b"".join(out), False
+
+
+def encode_hybrid(values: np.ndarray, width: int) -> bytes:
+    """Encode ``values`` (non-negative, < 2**width) as a raw hybrid run stream.
+
+    No length prefix is included; callers that need the reference's
+    4-byte-length framing (encoding.py:224-229) prepend it themselves.
+    """
+    return _encode_hybrid_impl(values, width)[0]
+
+
+def encode_hybrid_params(values: np.ndarray, width: int) -> tuple[dict, bytes]:
+    """Like :func:`encode_hybrid`, but also reports the chosen layout so the
+    owning decoder can take the vectorized fixed-stride parse
+    (``{"hdr2": True}``).  Either layout is plain reference hybrid wire —
+    the flag is a pure decode-speed hint, never a format fork."""
+    blob, fixed = _encode_hybrid_impl(values, width)
+    params: dict = {"width": width}
+    if fixed:
+        params["hdr2"] = True
+    return params, blob
 
 
 def decode_hybrid(
-    data: bytes, width: int, n: int | None = None, out_dtype=np.int64
+    data: bytes,
+    width: int,
+    n: int | None = None,
+    out_dtype=np.int64,
+    hdr2: bool = False,
 ) -> np.ndarray:
     """Decode a raw hybrid run stream; truncate to ``n`` values when given.
 
@@ -115,6 +208,9 @@ def decode_hybrid(
     """
     small = np.dtype(out_dtype).itemsize == 4 and width <= 31
     dtype = np.int32 if small else np.int64
+    if hdr2:
+        # fixed-stride layout (see _encode_rle2): one reshape + one repeat
+        return _decode_rle2(data, width, n, dtype)
     pos = 0
     total = len(data)
     if n is None:

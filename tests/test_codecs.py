@@ -280,3 +280,55 @@ def test_outer_snappy_zstd_roundtrip():
             assert len(raw) == 8 * len(vals)
         out = decode_column(c, blob, len(vals), p, "int")
         np.testing.assert_array_equal(out, vals)
+
+
+# ----------------------------------------------- fixed-stride RLE fast path
+
+def _runny(n=80_000, run=32, seed=3):
+    rng = np.random.default_rng(seed)
+    runs = rng.integers(0, 1 << 17, n // run + 1).astype(np.int64)
+    return np.repeat(runs, run)[:n]
+
+
+def test_rle2_fast_path_selected_and_exact():
+    from parquet_python_spark.codecs.rle import encode_hybrid_params
+
+    vals = _runny()
+    w = width_from_max_int(int(vals.max()))
+    params, blob = encode_hybrid_params(vals, w)
+    assert params.get("hdr2") is True
+    # vectorized parse, generic loop parse, and the reference decoder all
+    # read the same wire identically
+    np.testing.assert_array_equal(
+        decode_hybrid(blob, w, len(vals), hdr2=True), vals
+    )
+    np.testing.assert_array_equal(decode_hybrid(blob, w, len(vals)), vals)
+    got = ref.read_rle_bit_packed_hybrid(BytesIO(blob), w, len(blob)) or []
+    assert got[: len(vals)] == list(vals)
+
+
+def test_rle2_long_run_split():
+    from parquet_python_spark.codecs.rle import RLE2_MAX_COUNT, encode_hybrid_params
+
+    # runs longer than the 13-bit count budget split into chunks
+    vals = np.repeat(
+        np.arange(2000, dtype=np.int64), RLE2_MAX_COUNT + 17
+    )
+    w = width_from_max_int(int(vals.max()))
+    params, blob = encode_hybrid_params(vals, w)
+    assert params.get("hdr2") is True
+    np.testing.assert_array_equal(
+        decode_hybrid(blob, w, len(vals), hdr2=True), vals
+    )
+    got = ref.read_rle_bit_packed_hybrid(BytesIO(blob), w, len(blob)) or []
+    assert got[: len(vals)] == list(vals)
+
+
+def test_rle2_not_selected_for_short_runs():
+    from parquet_python_spark.codecs.rle import encode_hybrid_params
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1 << 17, 50_000).astype(np.int64)  # runs ~1
+    w = width_from_max_int(int(vals.max()))
+    params, _blob = encode_hybrid_params(vals, w)
+    assert "hdr2" not in params

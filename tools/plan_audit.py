@@ -103,6 +103,18 @@ def main() -> None:
     ok = "CartesianProduct" not in p and "NestedLoop" not in p
     checks.append(("setop_active_buyers: no cartesian in INTERSECT", ok, p))
 
+    # 12. zone-map-pruned decode: the part_id prune is a BROADCAST semi-join
+    # (a shuffled semi-join would move every payload byte to prune it)
+    p = _plan(qs["rt_tokens_pruned"](spark, sf_dir))
+    ok = (
+        "LeftSemi" in p
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+    )
+    checks.append(
+        ("rt_tokens_pruned: broadcast left-semi prune of blocks", ok, p)
+    )
+
     n_bad = 0
     for name, ok, plan in checks:
         mark = "PASS" if ok else "FAIL"
