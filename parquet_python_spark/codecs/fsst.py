@@ -153,16 +153,26 @@ def _apply_merges(seq: np.ndarray, merges: list[tuple[int, int]], alphabet: int)
     ptable = np.zeros((k + 1) * (k + 1), dtype=np.int32)
     for i, (a, b) in enumerate(merges):
         ptable[pid[a] * (k + 1) + pid[b]] = alphabet + i + 1
+    # (k+1)^2 < 2^31 for any realistic merge table (k <= 2*MAX merges), so
+    # the pair-table index stays int32 — no widening pass per iteration
+    idx_dtype = np.int32 if (k + 1) * (k + 1) < 2**31 else np.int64
     while len(seq) >= 2:
         pa_ = pid[seq[:-1]]
         pb_ = pid[seq[1:]]
-        code_at = ptable[pa_.astype(np.int64) * (k + 1) + pb_]
+        code_at = ptable[pa_.astype(idx_dtype) * idx_dtype(k + 1) + pb_]
         match = _keep_leftmost(np.flatnonzero(code_at))
         if len(match) == 0:
             break
-        out = seq.copy()
-        out[match] = (code_at[match] - 1).astype(seq.dtype)
-        seq = np.delete(out, match + 1)
+        # drop each match's second element, then scatter the merge codes
+        # into the compressed array (matches are non-overlapping, so match
+        # position i shifts left by exactly i) — one pass cheaper than the
+        # copy + np.delete formulation
+        keep = np.ones(len(seq), dtype=bool)
+        keep[match + 1] = False
+        seq = seq[keep]
+        seq[match - np.arange(len(match))] = (
+            code_at[match] - 1
+        ).astype(seq.dtype)
     return seq
 
 
