@@ -249,20 +249,11 @@ def _rt_fixture_nation(spark, sf_dir):
 _last_tokens_blocks = None
 
 
-def _rt_tokens_pruned(spark, sf_dir):
-    """Engine-path zone-map-pruned decode: a tokens table (BASELINE input
-    shape, derived deterministically from `documents` so DuckDB can
-    reproduce it) is range-clustered by n_tok, encoded zero-shuffle, then
-    decoded through decode_blocks_pruned — blocks whose n_tok [min,max]
-    stats miss [64,128] are never decoded.  Output exploded to scalar rows
-    (driver canonicalizer can't hash arrays)."""
-    global _last_tokens_blocks
-    from pyspark import StorageLevel
-
-    from parquet_python_spark.engine import decode_blocks_pruned, encode_table_narrow
-
+def _derived_tokens(spark, sf_dir):
+    """tokens table (BASELINE input shape) derived deterministically from
+    `documents` so DuckDB can reproduce every row."""
     docs = _t(spark, sf_dir, "documents")
-    tok = (
+    return (
         docs.select(
             F.col("doc_id").cast("string").alias("doc_id"),
             (F.col("n_chars") % 240 + 16).cast("int").alias("n_tok"),
@@ -277,8 +268,34 @@ def _rt_tokens_pruned(spark, sf_dir):
             ),
         )
         .select("doc_id", "tokens", "n_tok", "source")
-        .repartitionByRange(8, "n_tok")  # clustered layout -> selective stats
     )
+
+
+def _explode_tokens(dec):
+    return dec.select(
+        "doc_id",
+        F.posexplode("tokens").alias("pos", "token"),
+        "n_tok",
+        "source",
+    ).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token", "n_tok", "source"
+    )
+
+
+def _rt_tokens_pruned(spark, sf_dir):
+    """Engine-path zone-map-pruned decode: a tokens table (BASELINE input
+    shape, derived deterministically from `documents` so DuckDB can
+    reproduce it) is range-clustered by n_tok, encoded zero-shuffle, then
+    decoded through decode_blocks_pruned — blocks whose n_tok [min,max]
+    stats miss [64,128] are never decoded.  Output exploded to scalar rows
+    (driver canonicalizer can't hash arrays)."""
+    global _last_tokens_blocks
+    from pyspark import StorageLevel
+
+    from parquet_python_spark.engine import decode_blocks_pruned, encode_table_narrow
+
+    # clustered layout -> selective stats
+    tok = _derived_tokens(spark, sf_dir).repartitionByRange(8, "n_tok")
     blocks = encode_table_narrow(tok, snapshot_id="drv").persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -288,15 +305,41 @@ def _rt_tokens_pruned(spark, sf_dir):
         except Exception:  # noqa: BLE001 - session may already be gone
             pass
     _last_tokens_blocks = blocks
-    dec = decode_blocks_pruned(blocks, "n_tok", 64, 128)
-    return dec.select(
-        "doc_id",
-        F.posexplode("tokens").alias("pos", "token"),
-        "n_tok",
-        "source",
-    ).select(
-        "doc_id", F.col("pos").cast("long").alias("pos"), "token", "n_tok", "source"
+    return _explode_tokens(decode_blocks_pruned(blocks, "n_tok", 64, 128))
+
+
+def _rt_tokens_compacted(spark, sf_dir):
+    """Engine files-mode pipeline with small-files compaction in the middle:
+    tokens -> many block files -> compact_blocks bin-packs them -> shuffle-
+    free decode must still see every row exactly once (a part never spans
+    files, whole files concatenate).  Fresh temp dirs per run; oracle is the
+    same derived tokens table."""
+    import shutil
+    import tempfile
+
+    from parquet_python_spark.engine import (
+        compact_blocks,
+        decode_blocks_files,
+        encode_table_files,
+        list_input_files,
     )
+
+    work = tempfile.mkdtemp(prefix="pps_cmp_")
+    try:
+        inp = f"{work}/inp"
+        _derived_tokens(spark, sf_dir).repartition(6).write.parquet(inp)
+        bdir = f"{work}/blocks"
+        encode_table_files(spark, inp, snapshot_id="drv").write.parquet(bdir)
+        n_before = len(list_input_files(bdir))
+        compact_blocks(spark, bdir, target_bytes=1 << 30)
+        assert len(list_input_files(bdir)) < n_before
+        out = _explode_tokens(decode_blocks_files(spark, bdir))
+        # materialize before the temp dir vanishes (driver collects later
+        # on a cached plan would re-read deleted files otherwise)
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _converted_bson(spark, sf_dir):
@@ -622,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_orders_int96": _rt_orders_int96,
         "rt_fixture_nation": _rt_fixture_nation,
         "rt_tokens_pruned": _rt_tokens_pruned,
+        "rt_tokens_compacted": _rt_tokens_compacted,
         "converted_bson": _converted_bson,
         "describe_nation": _describe_nation,
         "converted_types": _converted_types,
@@ -685,6 +729,17 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(0, n_tok), "
             "i -> CAST((did*31 + i*7) % 65536 AS INT)) AS toks "
             "FROM tok WHERE n_tok BETWEEN 64 AND 128)"
+        ),
+        "rt_tokens_compacted": (
+            "WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars % 240 + 16 AS INT) AS n_tok, lang AS source, "
+            "CAST(doc_id AS BIGINT) AS did FROM documents) "
+            "SELECT doc_id, "
+            "CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, "
+            "CAST(unnest(toks) AS INT) AS token, n_tok, source FROM ("
+            "SELECT doc_id, n_tok, source, "
+            "list_transform(range(0, n_tok), "
+            "i -> CAST((did*31 + i*7) % 65536 AS INT)) AS toks FROM tok)"
         ),
         "rt_region_nation_supplier": (
             "SELECT r_regionkey AS k, r_name AS name, 'region' AS tbl FROM region "

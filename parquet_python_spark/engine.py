@@ -501,14 +501,46 @@ def _remove_stale_generations(blocks_dir: str, tasks: list[tuple]) -> None:
     planned = {t[0] for t in tasks}
     fks = {k.split(".")[0] for k in planned}
     for name in os.listdir(blocks_dir):
-        if not (name.startswith("blk-") and name.endswith(".parquet")):
+        if not name.endswith(".parquet"):
             continue
-        key = name[len("blk-") : -len(".parquet")]
-        if key.split(".")[0] in fks and key not in planned:
-            try:
-                os.remove(os.path.join(blocks_dir, name))
-            except OSError:
-                pass
+        if name.startswith("blk-"):
+            key = name[len("blk-") : -len(".parquet")]
+            if key.split(".")[0] in fks and key not in planned:
+                try:
+                    os.remove(os.path.join(blocks_dir, name))
+                except OSError:
+                    pass
+        elif name.startswith("cmp-"):
+            # compacted files hold many task keys: rewrite in place without
+            # the stale generation's rows (maintenance-path cost, driver-side)
+            _rewrite_compacted_without_stale(
+                os.path.join(blocks_dir, name), fks, planned
+            )
+
+
+def _rewrite_compacted_without_stale(
+    path: str, fks: set[str], planned: set[str]
+) -> None:
+    import pyarrow.parquet as pq
+
+    try:
+        pids = pq.read_table(path, columns=["part_id"], use_threads=False)
+    except OSError:
+        return
+    keys = [p.rsplit("#", 1)[-1] for p in pids.column("part_id").to_pylist()]
+    stale = np.array(
+        [k.split(".")[0] in fks and k not in planned for k in keys]
+    )
+    if not stale.any():
+        return
+    tbl = pq.read_table(path, use_threads=False)
+    kept = tbl.filter(pa.array(~stale))
+    if kept.num_rows == 0:
+        os.remove(path)
+        return
+    tmp = path + ".rewrite"
+    pq.write_table(kept, tmp)
+    os.rename(tmp, path)
 
 
 def _plan_file_tasks(files: list[str], max_task_bytes: int) -> list[tuple]:
@@ -816,6 +848,160 @@ def decode_blocks_files(spark: SparkSession, blocks_path: str) -> DataFrame:
     return paths_df.mapInArrow(dec, schema=DECODED_SCHEMA)
 
 
+def compact_blocks(
+    spark: SparkSession,
+    blocks_path: str,
+    target_bytes: int = 256 * 1024 * 1024,
+) -> dict:
+    """Small-files maintenance: bin-pack a blocks directory into
+    ~``target_bytes`` parquet files (the Iceberg "rewrite data files"
+    compaction analog; incremental encode_job runs produce one file per
+    task, and at 10^5 input files the blocks dir inherits the small-files
+    problem wholesale).
+
+    Zero shuffle and zero decode: bins are planned driver-side from file
+    sizes (metadata only); each bin task concatenates its source files
+    whole with pyarrow and writes one ``cmp-<id>.parquet``.  Because whole
+    files concatenate in order, decode_blocks_files' invariant — a part
+    never spans files, its rows stay contiguous — is preserved, and the
+    stat_min/stat_max zone maps ride along so pruned decode keeps working.
+    current_blocks / resume are unaffected: both key on part_id VALUES,
+    never on file names.
+
+    Crash safety: each bin writes a ``.srcs.json`` sidecar listing its
+    source files before renaming the compacted file visible, then deletes
+    sources, then the sidecar.  A crash between rename and source deletion
+    would duplicate rows; ``_repair_compaction`` (run at the start of every
+    compact_blocks) finishes the deletes from the sidecar instead.
+    """
+    _repair_compaction(blocks_path)
+    files = [
+        (f, os.stat(f).st_size)
+        for f in list_input_files(blocks_path)
+    ]
+    # greedy consecutive bin-packing over the sorted listing; only bins
+    # that actually merge >=2 files become tasks
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for f, sz in files:
+        if cur and acc + sz > target_bytes:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(f)
+        acc += sz
+    if cur:
+        bins.append(cur)
+    bins = [b for b in bins if len(b) >= 2]
+    if not bins:
+        return {"bins": 0, "files_removed": 0}
+
+    bins_df = spark.createDataFrame(
+        [(i, json.dumps(b)) for i, b in enumerate(bins)],
+        "bin_id int, srcs string",
+    ).repartition(len(bins), "bin_id")
+
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for srcs_json in batch.column("srcs").to_pylist():
+                srcs = json.loads(srcs_json)
+                tables = [pq.read_table(p, use_threads=False) for p in srcs]
+                out = pa.concat_tables(tables, promote_options="permissive")
+                cid = hashlib.sha1(
+                    "".join(
+                        f"{os.path.basename(p)}:{os.path.getsize(p)}"
+                        for p in srcs
+                    ).encode()
+                ).hexdigest()[:16]
+                final = os.path.join(blocks_path, f"cmp-{cid}.parquet")
+                sidecar = final + ".srcs.json"
+                tmp = final + ".inprogress"
+                pq.write_table(out, tmp)
+                with open(sidecar, "w") as f:
+                    json.dump([os.path.basename(p) for p in srcs], f)
+                os.rename(tmp, final)
+                for p in srcs:
+                    os.remove(p)
+                os.remove(sidecar)
+                yield pa.record_batch(
+                    {"n_files": pa.array([len(srcs)], type=pa.int64())}
+                )
+
+    rows = bins_df.mapInArrow(run, schema="n_files long").collect()
+    return {
+        "bins": len(rows),
+        "files_removed": int(sum(r["n_files"] for r in rows)),
+    }
+
+
+def _repair_compaction(blocks_path: str) -> None:
+    """Finish or roll back interrupted compaction bins (see compact_blocks).
+
+    Sidecar present + compacted file present -> the rename happened: the
+    compacted file is authoritative, delete any surviving sources.
+    Sidecar present + no compacted file -> the bin never went visible:
+    sources are authoritative, drop the sidecar (and any orphan tmp)."""
+    try:
+        names = os.listdir(blocks_path)
+    except OSError:
+        return
+    for name in names:
+        if name.endswith(".inprogress"):
+            try:
+                os.remove(os.path.join(blocks_path, name))
+            except OSError:
+                pass
+        if not name.endswith(".srcs.json"):
+            continue
+        sidecar = os.path.join(blocks_path, name)
+        final = sidecar[: -len(".srcs.json")]
+        if os.path.exists(final):
+            try:
+                with open(sidecar) as f:
+                    for src in json.load(f):
+                        p = os.path.join(blocks_path, src)
+                        if os.path.exists(p):
+                            os.remove(p)
+            except (OSError, json.JSONDecodeError):
+                continue
+        try:
+            os.remove(sidecar)
+        except OSError:
+            pass
+
+
+def _task_keys_in_compacted(blocks_path: str) -> set[str]:
+    """Task keys whose block rows live inside cmp-*.parquet files (one
+    part_id-column read per compacted file; compaction keeps file counts
+    small by construction, so this stays metadata-cheap)."""
+    keys: set[str] = set()
+    try:
+        names = os.listdir(blocks_path)
+    except OSError:
+        return keys
+    import pyarrow.parquet as pq
+
+    for name in names:
+        if not (name.startswith("cmp-") and name.endswith(".parquet")):
+            continue
+        try:
+            pids = pq.read_table(
+                os.path.join(blocks_path, name),
+                columns=["part_id"],
+                use_threads=False,
+            )
+        except OSError:
+            continue
+        keys.update(
+            p.rsplit("#", 1)[-1]
+            for p in set(pids.column("part_id").to_pylist())
+        )
+    return keys
+
+
 # ----------------------------------------------------- job with resume
 
 def snapshot_of(path: str) -> str:
@@ -891,10 +1077,14 @@ def encode_job(
             for r in prev_f.select("part_id").distinct().collect()
         }
         if mode == "files":
-            # a metrics row is only trustworthy if its backing block file
-            # still exists: a crash between stale-generation cleanup and
-            # re-encode would otherwise let a later run skip the partition
-            # and commit a snapshot with those rows missing
+            # a metrics row is only trustworthy if its backing rows still
+            # exist: either the task's own blk file, or — after
+            # compact_blocks folded it away — a cmp file holding its task
+            # key.  A crash between stale-generation cleanup and re-encode
+            # would otherwise let a later run skip the partition and commit
+            # a snapshot with those rows missing; conversely, re-encoding a
+            # compacted partition would DOUBLE its rows.
+            cmp_keys = _task_keys_in_compacted(blocks_path)
             done = {
                 p
                 for p in done
@@ -903,6 +1093,7 @@ def encode_job(
                         blocks_path, f"blk-{p.split('#')[-1]}.parquet"
                     )
                 )
+                or p.split("#")[-1] in cmp_keys
             }
 
     if mode == "grouped":
