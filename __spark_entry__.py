@@ -376,7 +376,12 @@ def _converted_types(spark, sf_dir):
     # in representation even when the instant is the same).
     return part.select(
         "p_partkey",
-        decimal_from_unscaled(F.col("p_partkey"), 18, 2).alias("dec_val"),
+        # decimal conversion under test; returned as DOUBLE because pandas
+        # renders Spark decimals as Decimal objects but DuckDB decimals as
+        # float64 — same values, hash-differing representations
+        decimal_from_unscaled(F.col("p_partkey"), 18, 2)
+        .cast("double")
+        .alias("dec_val"),
         date_from_days(F.col("p_size")).alias("date_val"),
         F.unix_millis(timestamp_from_millis(F.col("p_partkey") * 86400000)).alias(
             "ts_val"
@@ -787,7 +792,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "converted_types": (
             "SELECT p_partkey, "
-            "CAST(CAST(p_partkey AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS dec_val, "
+            "CAST(CAST(CAST(p_partkey AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) "
+            "AS DOUBLE) AS dec_val, "
             "DATE '1970-01-01' + p_size AS date_val, "
             "CAST(p_partkey * 86400000 AS BIGINT) AS ts_val, "
             "CASE WHEN (p_partkey % 100000 - 50000) < 0 "

@@ -21,7 +21,19 @@ TABLES = [
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # date/datetime representation differs between Spark toPandas
+    # (datetime.date objects) and DuckDB fetchdf (datetime64) for the SAME
+    # values; the driver's hash canonicalizes these, so stringify here too
+    import datetime
+
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype == object:
+            first = next((v for v in df[c] if v is not None), None)
+            if isinstance(first, (datetime.date, datetime.datetime)):
+                df[c] = df[c].astype(str)
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
