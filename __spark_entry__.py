@@ -554,6 +554,27 @@ def _agg_pricing_summary(spark, sf_dir):
     )
 
 
+def _agg_rollup_pricing(spark, sf_dir):
+    # grouping sets / rollup (absent in the reference, SURVEY.md §2.4):
+    # subtotals per (returnflag, linestatus), per returnflag, and grand
+    # total in one pass.  NULL grouping slots are coalesced to 'ALL' on
+    # both sides (the driver's canonicalizer can't sort None against str).
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
 def _join_customer_nation(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
@@ -694,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_projection": _scan_projection,
         "limit_topk": _limit_topk,
         "agg_pricing_summary": _agg_pricing_summary,
+        "agg_rollup_pricing": _agg_rollup_pricing,
         "join_customer_nation": _join_customer_nation,
         "window_top_orders": _window_top_orders,
         "setop_active_buyers": _setop_active_buyers,
@@ -889,6 +911,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_rollup_pricing": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "count(*) AS n_rows, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "join_customer_nation": (
             "SELECT n.n_name AS nation, count(*) AS n_customers "
