@@ -448,6 +448,18 @@ def _quality_score(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents"))
 
 
+def _stratified_sample(spark, sf_dir):
+    # deterministic corpus-mixing subsample: content-addressed md5 bucket,
+    # per-stratum permille rates via broadcast map — no shuffle, rerun-stable
+    from parquet_python_spark.operators.pipeline_ops import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 700, "de": 400},
+        default_permille=150,
+    ).select("doc_id", "lang")
+
+
 def _ngram_jaccard(spark, sf_dir):
     from parquet_python_spark.operators.pipeline_ops import ngram_jaccard_pairs
 
@@ -704,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "token_count": _token_count,
         "quality_score": _quality_score,
+        "stratified_sample": _stratified_sample,
         "ngram_jaccard": _ngram_jaccard,
         "near_dup_embeddings": _near_dup_embeddings,
         "near_dup_embeddings_lsh": _near_dup_embeddings_lsh,
@@ -857,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
             r"AS mean_word_len_x1000 "
             r"FROM documents"
         ),
+        "stratified_sample": _stratified_sample_oracle(),
         "ngram_jaccard": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
             "g0 AS (SELECT doc_id, "
@@ -1007,6 +1021,17 @@ def oracle_sql() -> dict[str, str]:
         # exact-result twins — dedup_exact, near_dup_embeddings,
         # ann_cosine_topk — ARE oracle-checked here).
     }
+
+
+def _stratified_sample_oracle() -> str:
+    from parquet_python_spark.operators.pipeline_ops import (
+        stratified_sample_oracle_sql,
+    )
+
+    return stratified_sample_oracle_sql(
+        "documents", {"en": 700, "de": 400}, default_permille=150,
+        select="doc_id, lang",
+    )
 
 
 def _simhash_oracle() -> str:

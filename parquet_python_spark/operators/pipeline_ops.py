@@ -282,6 +282,66 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 100,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the corpus-mixing primitive
+    of a training-data pipeline (e.g. downweight crawl, upweight code).
+
+    A row survives iff md5-bucket(key) % 1000 < permille(stratum).  The
+    bucket is the first 5 nibbles of md5(key) (content-addressed: the same
+    row is kept or dropped at any parallelism, any partitioning, any rerun
+    — re-sampling a grown corpus keeps the previously kept rows, so
+    downstream caches stay valid).  The per-stratum rates join in via a
+    BROADCAST map (same pattern as engine.with_partition_id): plan size is
+    O(1) in stratum cardinality, and the filter is a narrow map — no
+    shuffle anywhere.  All JVM built-ins (md5/instr/substring), so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    spark = docs.sparkSession
+    rate_df = spark.createDataFrame(
+        [(str(s), int(p)) for s, p in rates_permille.items()],
+        f"{strata_col} string, __permille int",
+    )
+    h = F.md5(F.col(key_col).cast("string"))
+    nib = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    bucket = sum((nib(i + 1) * (16**i) for i in range(5)), F.lit(0))
+    return (
+        docs.join(F.broadcast(rate_df), strata_col, "left")
+        .filter(
+            bucket % 1000
+            < F.coalesce("__permille", F.lit(int(default_permille)))
+        )
+        .drop("__permille")
+    )
+
+
+def stratified_sample_oracle_sql(
+    table: str,
+    rates_permille: dict[str, int],
+    default_permille: int = 100,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    select: str = "*",
+) -> str:
+    """DuckDB SQL computing the identical sample (shared md5-nibble bucket)."""
+    bucket = " + ".join(
+        f"(instr('{_HEX}', substr(md5(CAST({key_col} AS VARCHAR)), {i + 1}, 1))"
+        f" - 1) * {16**i}"
+        for i in range(5)
+    )
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(p)}" for s, p in rates_permille.items()
+    )
+    return (
+        f"SELECT {select} FROM {table} WHERE ({bucket}) % 1000 < "
+        f"(CASE {strata_col} {cases} ELSE {int(default_permille)} END)"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, min_permille: int = 200, max_df: int = 200
 ) -> DataFrame:

@@ -135,3 +135,51 @@ def test_decode_image_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+# ------------------------------------------------------ stratified sampling
+
+def _md5_bucket(key: str) -> int:
+    """Python re-derivation of the shared md5-nibble bucket (first 5 hex
+    nibbles, little-nibble-first base-16)."""
+    h = hashlib.md5(key.encode()).hexdigest()
+    return sum(int(h[i], 16) * (16**i) for i in range(5))
+
+
+def test_stratified_sample_exact_and_stable(spark):
+    from parquet_python_spark.operators.pipeline_ops import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+            for i in range(500)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = {"en": 700, "de": 400}
+
+    kept = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, rates, default_permille=150).collect()
+    )
+    expect = sorted(
+        i for i, lang in rows
+        if _md5_bucket(str(i)) % 1000 < rates.get(lang, 150)
+    )
+    assert kept == expect
+    assert 0 < len(kept) < 500
+
+    # content-addressed: identical selection at a different partitioning
+    kept2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), rates, default_permille=150
+        ).collect()
+    )
+    assert kept2 == kept
+
+
+def test_stratified_sample_rate_zero_and_full(spark):
+    from parquet_python_spark.operators.pipeline_ops import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(100)], ["doc_id", "lang"]
+    )
+    assert stratified_sample(docs, {"en": 0}).count() == 0
+    assert stratified_sample(docs, {"en": 1000}).count() == 100
