@@ -390,6 +390,41 @@ def _converted_types(spark, sf_dir):
     )
 
 
+def _converted_micros(spark, sf_dir):
+    # D21 beyond-reference: the logical types the reference leaves
+    # UNHANDLED (converted_types.py:88-90 — TIMESTAMP_MICROS, INT_8/16,
+    # INTERVAL) as Catalyst expressions.  ts returned as epoch micros
+    # BIGINT (timezone-proof canonical form); INTERVAL round-trips through
+    # its 12-byte FLBA wire image and back to (months, days, millis).
+    from parquet_python_spark.functions.converted import (
+        int_8,
+        int_16,
+        interval_from_flba,
+        interval_to_flba,
+        timestamp_from_micros,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    iv = interval_from_flba(
+        interval_to_flba(
+            F.col("p_partkey") % 120,
+            F.col("p_partkey") % 31,
+            F.col("p_partkey") % 86400000,
+        )
+    )
+    return part.select(
+        "p_partkey",
+        F.unix_micros(
+            timestamp_from_micros(F.col("p_partkey") * 86400000000)
+        ).alias("ts_us"),
+        int_8(F.col("p_partkey")).cast("long").alias("i8_val"),
+        int_16(F.col("p_partkey") * 7).cast("long").alias("i16_val"),
+        iv["months"].alias("iv_months"),
+        iv["days"].alias("iv_days"),
+        iv["millis"].alias("iv_millis"),
+    )
+
+
 # ------------------------------------------------------------ pipeline ops
 
 def _dedup_exact(spark, sf_dir):
@@ -707,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "converted_bson": _converted_bson,
         "describe_nation": _describe_nation,
         "converted_types": _converted_types,
+        "converted_micros": _converted_micros,
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
         "doc_fingerprint": _doc_fingerprint,
@@ -834,6 +870,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN (p_partkey % 100000 - 50000) < 0 "
             "THEN (p_partkey % 100000 - 50000) + 4294967296 "
             "ELSE (p_partkey % 100000 - 50000) END AS uint_val "
+            "FROM part"
+        ),
+        "converted_micros": (
+            "SELECT p_partkey, "
+            "CAST(p_partkey * 86400000000 AS BIGINT) AS ts_us, "
+            "CAST(CASE WHEN p_partkey % 256 >= 128 "
+            "THEN p_partkey % 256 - 256 ELSE p_partkey % 256 END AS BIGINT) "
+            "AS i8_val, "
+            "CAST(CASE WHEN (p_partkey * 7) % 65536 >= 32768 "
+            "THEN (p_partkey * 7) % 65536 - 65536 "
+            "ELSE (p_partkey * 7) % 65536 END AS BIGINT) AS i16_val, "
+            "CAST(p_partkey % 120 AS BIGINT) AS iv_months, "
+            "CAST(p_partkey % 31 AS BIGINT) AS iv_days, "
+            "CAST(p_partkey % 86400000 AS BIGINT) AS iv_millis "
             "FROM part"
         ),
         "dedup_exact": (

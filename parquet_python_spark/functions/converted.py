@@ -36,6 +36,71 @@ def timestamp_from_millis(col: Column) -> Column:
     return F.timestamp_millis(col.cast("long"))
 
 
+def time_micros(col: Column) -> Column:
+    """TIME_MICROS: int64 micros -> day-time interval.  Unhandled by the
+    reference (converted_types.py:88-90 logs and passes raw) — added for
+    logical-type completeness."""
+    return col.cast("long").cast("interval day to second")
+
+
+def timestamp_from_micros(col: Column) -> Column:
+    """TIMESTAMP_MICROS: int64 micros -> timestamp (reference-unhandled)."""
+    return F.timestamp_micros(col.cast("long"))
+
+
+def int_8(col: Column) -> Column:
+    """INT_8: low byte of the stored physical int, sign-extended
+    (reference-unhandled; parquet.thrift stores INT_8 in a physical INT32)."""
+    b = F.pmod(col.cast("long"), F.lit(256))
+    return F.when(b >= 128, b - 256).otherwise(b).cast("int")
+
+
+def int_16(col: Column) -> Column:
+    """INT_16: low 16 bits sign-extended (reference-unhandled)."""
+    h = F.pmod(col.cast("long"), F.lit(65536))
+    return F.when(h >= 32768, h - 65536).otherwise(h).cast("int")
+
+
+def enum_str(col: Column) -> Column:
+    """ENUM: byte array -> string (reference-unhandled; same wire as UTF8)."""
+    return col.cast("string")
+
+
+def _le_uint32(col: Column, offset: int) -> Column:
+    """Little-endian uint32 at 1-based byte ``offset`` of a binary column,
+    as a pure Catalyst expression (hex -> byte-pair reversal -> conv)."""
+    h = F.hex(F.substring(col, offset, 4))
+    rev = F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2),
+        F.substring(h, 3, 2), F.substring(h, 1, 2),
+    )
+    return F.conv(rev, 16, 10).cast("long")
+
+
+def interval_from_flba(col: Column) -> Column:
+    """INTERVAL: 12-byte FLBA of three little-endian uint32s
+    (months, days, millis) -> struct (parquet LogicalTypes; the reference
+    passes the raw bytes through).  Pure Catalyst — no UDF."""
+    return F.struct(
+        _le_uint32(col, 1).alias("months"),
+        _le_uint32(col, 5).alias("days"),
+        _le_uint32(col, 9).alias("millis"),
+    )
+
+
+def interval_to_flba(months: Column, days: Column, millis: Column) -> Column:
+    """Inverse of interval_from_flba (fixture/ingest path)."""
+
+    def le(c: Column) -> Column:
+        h = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+
+    return F.unhex(F.concat(le(months), le(days), le(millis)))
+
+
 def utf8(col: Column) -> Column:
     """UTF8: bytes -> str (converted_types.py:73-74)."""
     return col.cast("string")

