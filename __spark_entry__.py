@@ -342,6 +342,20 @@ def _rt_tokens_compacted(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _pack_windows(spark, sf_dir):
+    """Sequence packing (LLM training windows): tokens concatenated in
+    deterministic doc_id order, sliced into 512-token windows.  Distributed
+    prefix sum for offsets, piece-level (not token-level) shuffle — see
+    operators/packing.py.  Output exploded to scalar rows for the driver's
+    canonicalizer."""
+    from parquet_python_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(_derived_tokens(spark, sf_dir), window=512)
+    return packed.select(
+        "window_id", F.posexplode("tokens").alias("pos", "token")
+    ).select("window_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
 def _converted_bson(spark, sf_dir):
     # D21 BSON converted type (reference converted_types.py:85-86):
     # JSON -> BSON bytes -> parsed back to JSON through the engine decoder.
@@ -739,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_fixture_nation": _rt_fixture_nation,
         "rt_tokens_pruned": _rt_tokens_pruned,
         "rt_tokens_compacted": _rt_tokens_compacted,
+        "pack_windows": _pack_windows,
         "converted_bson": _converted_bson,
         "describe_nation": _describe_nation,
         "converted_types": _converted_types,
@@ -816,6 +831,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tok, source, "
             "list_transform(range(0, n_tok), "
             "i -> CAST((did*31 + i*7) % 65536 AS INT)) AS toks FROM tok)"
+        ),
+        "pack_windows": (
+            "WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars % 240 + 16 AS INT) AS n_tok, "
+            "CAST(doc_id AS BIGINT) AS did FROM documents), "
+            "g AS (SELECT doc_id, list_transform(range(0, n_tok), "
+            "i -> CAST((did*31 + i*7) % 65536 AS INT)) AS toks FROM tok), "
+            "flat AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p, "
+            "unnest(toks) AS token FROM g), "
+            "o AS (SELECT row_number() OVER (ORDER BY doc_id, p) - 1 AS gpos, "
+            "token FROM flat) "
+            "SELECT CAST(gpos // 512 AS BIGINT) AS window_id, "
+            "CAST(gpos % 512 AS BIGINT) AS pos, token FROM o"
         ),
         "rt_region_nation_supplier": (
             "SELECT r_regionkey AS k, r_name AS name, 'region' AS tbl FROM region "

@@ -1,0 +1,79 @@
+"""Sequence packing: exact numpy oracle, window edges, partitioning
+invariance, the distributed prefix sum."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(d, list(map(int, t)), len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+
+
+def _expected(rows, window):
+    """Numpy re-derivation: concatenate in doc_id order, slice."""
+    stream = np.concatenate(
+        [np.asarray(t, dtype=np.int64) for _, t in sorted(rows)]
+        or [np.array([], dtype=np.int64)]
+    )
+    return {
+        w: stream[w * window : (w + 1) * window].tolist()
+        for w in range((len(stream) + window - 1) // window)
+    }
+
+
+def _packed(df, window):
+    from parquet_python_spark.operators.packing import pack_sequences
+
+    return {
+        r["window_id"]: list(r["tokens"])
+        for r in pack_sequences(df, window=window).collect()
+    }
+
+
+def test_pack_exact(spark):
+    rows = [
+        ("a", [1, 2, 3]),
+        ("b", [4, 5]),
+        ("c", list(range(10, 31))),  # spans multiple windows
+        ("d", [99]),
+    ]
+    got = _packed(_docs(spark, rows), 8)
+    exp = _expected(rows, 8)
+    assert got == exp
+    # every window full except the last
+    sizes = [len(v) for _, v in sorted(got.items())]
+    assert all(s == 8 for s in sizes[:-1]) and 0 < sizes[-1] <= 8
+
+
+def test_pack_doc_larger_than_window(spark):
+    rows = [("x", list(range(100)))]
+    got = _packed(_docs(spark, rows), 16)
+    assert got == _expected(rows, 16)
+
+
+def test_pack_empty_doc_and_order(spark):
+    # "10" < "2" lexicographically — string collation drives the order
+    rows = [("10", [7, 8]), ("2", [1]), ("3", [])]
+    got = _packed(_docs(spark, rows), 4)
+    assert got == {0: [7, 8, 1]}
+
+
+def test_pack_partitioning_invariance(spark):
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"d{i:04d}", rng.integers(0, 1000, rng.integers(0, 40)).tolist())
+        for i in range(200)
+    ]
+    df = _docs(spark, rows)
+    exp = _expected(rows, 64)
+    assert _packed(df, 64) == exp
+    assert _packed(df.repartition(7), 64) == exp
+
+
+def test_pack_empty_table(spark):
+    assert _packed(_docs(spark, []), 8) == {}
