@@ -356,6 +356,19 @@ def _pack_windows(spark, sf_dir):
     ).select("window_id", F.col("pos").cast("long").alias("pos"), "token")
 
 
+def _remap_vocab(spark, sf_dir):
+    """Tokenizer-migration remap over the tokens column: numpy lookup-table
+    gather through the Arrow list buffers (mapInArrow, no shuffle/join).
+    Output exploded to scalar rows."""
+    from parquet_python_spark.operators.pipeline_ops import remap_tokens
+
+    tok = _derived_tokens(spark, sf_dir)
+    out = remap_tokens(tok, {0: 70000, 7: 70007, 1234: 71234})
+    return out.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
 def _converted_bson(spark, sf_dir):
     # D21 BSON converted type (reference converted_types.py:85-86):
     # JSON -> BSON bytes -> parsed back to JSON through the engine decoder.
@@ -364,6 +377,39 @@ def _converted_bson(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     payload = bson_from_json(F.to_json(F.struct("doc_id", "lang")))
     return docs.select("doc_id", bson_to_json(payload).alias("bson_json"))
+
+
+def _sink_roundtrips(spark, sf_dir):
+    """S5/S6 sinks under the oracle: nation through the CSV (tab-delimited,
+    reference __init__.py:510-515) and JSON-lines (__init__.py:483-496)
+    sinks and back; both read-backs must reproduce the table exactly.
+    Result materialized before the temp dirs vanish."""
+    import shutil
+    import tempfile
+
+    from parquet_python_spark.sources.sinks import write_csv, write_jsonl
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    work = tempfile.mkdtemp(prefix="pps_sink_")
+    try:
+        write_csv(nation, f"{work}/csv")
+        write_jsonl(nation, f"{work}/jsonl")
+        schema = "n_nationkey int, n_name string, n_regionkey int"
+        csv_back = (
+            spark.read.option("sep", "\t").option("header", True)
+            .schema(schema).csv(f"{work}/csv")
+            .select(F.lit("csv").alias("sink"), "*")
+        )
+        json_back = (
+            spark.read.schema(schema).json(f"{work}/jsonl")
+            .select(F.lit("jsonl").alias("sink"), "*")
+        )
+        out = csv_back.unionAll(json_back)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _describe_nation(spark, sf_dir):
@@ -754,7 +800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_tokens_pruned": _rt_tokens_pruned,
         "rt_tokens_compacted": _rt_tokens_compacted,
         "pack_windows": _pack_windows,
+        "remap_vocab": _remap_vocab,
         "converted_bson": _converted_bson,
+        "sink_roundtrips": _sink_roundtrips,
         "describe_nation": _describe_nation,
         "converted_types": _converted_types,
         "converted_micros": _converted_micros,
@@ -832,6 +880,18 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(range(0, n_tok), "
             "i -> CAST((did*31 + i*7) % 65536 AS INT)) AS toks FROM tok)"
         ),
+        "remap_vocab": (
+            "WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars % 240 + 16 AS INT) AS n_tok, "
+            "CAST(doc_id AS BIGINT) AS did FROM documents), "
+            "g AS (SELECT doc_id, list_transform(range(0, n_tok), "
+            "i -> CAST((did*31 + i*7) % 65536 AS INT)) AS toks FROM tok), "
+            "flat AS (SELECT doc_id, "
+            "generate_subscripts(toks, 1) - 1 AS p, unnest(toks) AS t FROM g) "
+            "SELECT doc_id, CAST(p AS BIGINT) AS pos, "
+            "CAST(CASE t WHEN 0 THEN 70000 WHEN 7 THEN 70007 "
+            "WHEN 1234 THEN 71234 ELSE t END AS INT) AS token FROM flat"
+        ),
         "pack_windows": (
             "WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(n_chars % 240 + 16 AS INT) AS n_tok, "
@@ -875,6 +935,11 @@ def oracle_sql() -> dict[str, str]:
         "converted_bson": (
             "SELECT doc_id, '{\"doc_id\":' || doc_id || ',\"lang\":\"' || lang "
             "|| '\"}' AS bson_json FROM documents"
+        ),
+        "sink_roundtrips": (
+            "SELECT 'csv' AS sink, n_nationkey, n_name, n_regionkey FROM nation "
+            "UNION ALL "
+            "SELECT 'jsonl', n_nationkey, n_name, n_regionkey FROM nation"
         ),
         "describe_nation": (
             "SELECT col AS column_name, dtype, "

@@ -342,6 +342,73 @@ def stratified_sample_oracle_sql(
     )
 
 
+def remap_tokens(
+    tok: DataFrame, mapping: dict[int, int], default: int | None = None
+) -> DataFrame:
+    """Vocabulary remap over the tokens column (tokenizer migration /
+    special-token renumbering).  Unmapped ids keep identity unless
+    ``default`` is given (e.g. an UNK id).
+
+    Scale shape: a numpy lookup-table gather inside mapInArrow — one narrow
+    pass, no shuffle, no join, vocab size bounded only by executor memory
+    (a 1M-entry table is 8 MB).  The kernel gathers straight through the
+    Arrow list buffers: values are remapped in one vectorized shot and the
+    offsets are reused untouched (list structure never rebuilt per row).
+    A broadcast-join alternative would shuffle every token; a map-literal
+    expression would blow up the plan at real vocab sizes."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    size = max(mapping, default=0) + 1
+    # default=None: unmapped ids keep identity; default set: every id not
+    # in the mapping becomes the default (UNK semantics)
+    lut = (
+        np.arange(size, dtype=np.int32)
+        if default is None
+        else np.full(size, default, dtype=np.int32)
+    )
+    for old, new in mapping.items():
+        lut[old] = new
+
+    fields = [
+        (f.name, f.dataType) for f in tok.schema.fields
+    ]
+    out_schema = T.StructType(
+        [T.StructField(n, d, True) for n, d in fields]
+    )
+    default_np = None if default is None else np.int32(default)
+
+    def gather(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            cols = {n: b.column(i) for i, (n, _) in enumerate(fields)}
+            arr = cols["tokens"]
+            # flatten()/list_value_length respect slicing; rebuilding the
+            # offsets from lengths keeps the kernel correct for any batch
+            # layout (unlike reusing .offsets, which is absolute-indexed)
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int32, copy=False
+            )
+            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+            in_table = (flat >= 0) & (flat < size)
+            fallback = flat if default_np is None else default_np
+            out = np.where(
+                in_table, lut[np.clip(flat, 0, size - 1)], fallback
+            )
+            cols["tokens"] = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(out, type=pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [cols[n] for n, _ in fields], names=[n for n, _ in fields]
+            )
+
+    return tok.mapInArrow(gather, schema=out_schema)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, min_permille: int = 200, max_df: int = 200
 ) -> DataFrame:

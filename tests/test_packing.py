@@ -77,3 +77,24 @@ def test_pack_partitioning_invariance(spark):
 
 def test_pack_empty_table(spark):
     assert _packed(_docs(spark, []), 8) == {}
+
+
+# ------------------------------------------------------------ vocab remap
+
+def test_remap_tokens(spark):
+    from parquet_python_spark.operators.pipeline_ops import remap_tokens
+
+    df = spark.createDataFrame(
+        [("a", [0, 5, 9, 200], 4, "s1"), ("b", [], 0, "s1"),
+         ("c", [5, 5, 1], 3, "s2")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = {r["doc_id"]: list(r["tokens"])
+           for r in remap_tokens(df, {0: 100, 5: 105}).collect()}
+    # 9 and 200 unmapped -> identity (200 is beyond the lut size)
+    assert out == {"a": [100, 105, 9, 200], "b": [], "c": [105, 105, 1]}
+
+    # default (UNK) replaces anything outside the table
+    out2 = {r["doc_id"]: list(r["tokens"])
+            for r in remap_tokens(df, {0: 100, 5: 105}, default=-1).collect()}
+    assert out2 == {"a": [100, 105, -1, -1], "b": [], "c": [105, 105, -1]}
