@@ -115,6 +115,44 @@ def main() -> None:
         ("rt_tokens_pruned: broadcast left-semi prune of blocks", ok, p)
     )
 
+    # 13. stratified sampler: 100% JVM (no Python eval), broadcast rate map,
+    # and no shuffle anywhere (Exchange only if broadcast)
+    p = _plan(qs["stratified_sample"](spark, sf_dir))
+    ok = (
+        "EvalPython" not in p
+        and "BroadcastHashJoin" in p
+        and "Exchange hashpartitioning" not in p
+    )
+    checks.append(
+        ("stratified_sample: JVM-only, broadcast rates, zero shuffles", ok, p)
+    )
+
+    # 14. rollup: partial+final aggregate with Expand, no join
+    p = _plan(qs["agg_rollup_pricing"](spark, sf_dir))
+    ok = "Expand" in p and p.count("HashAggregate") >= 2 and "Join" not in p
+    checks.append(
+        ("agg_rollup_pricing: Expand + partial/final HashAggregate", ok, p)
+    )
+
+    # 15. sequence packing: no cartesian/nested-loop; the per-partition base
+    # offsets come in via broadcast, and piece reassembly is one hash
+    # shuffle on window_id
+    p = _plan(qs["pack_windows"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in p
+        and "NestedLoop" not in p
+        and "BroadcastHashJoin" in p
+    )
+    checks.append(
+        ("pack_windows: broadcast offset bases, no cartesian", ok, p)
+    )
+
+    # 16. vocab remap: a single narrow ArrowEvalPython/mapInArrow pass —
+    # NO shuffle (Exchange) of the token arrays
+    p = _plan(qs["remap_vocab"](spark, sf_dir))
+    ok = "Exchange hashpartitioning" not in p and "SortMergeJoin" not in p
+    checks.append(("remap_vocab: narrow map pass, zero shuffles", ok, p))
+
     n_bad = 0
     for name, ok, plan in checks:
         mark = "PASS" if ok else "FAIL"
