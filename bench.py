@@ -72,7 +72,7 @@ def main() -> None:
         # matmul probe swings ~6x), so a single-shot time conflates engine
         # speed with host luck.  Best-of keeps the pass that ran closest
         # to unstalled hardware.  N via BENCH_REPEATS (default 2).
-        repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+        repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
 
         for r in range(repeats):
             enc_path = f"{encoded_path}_{r}"
@@ -85,6 +85,8 @@ def main() -> None:
             decode_blocks(blocks).agg(F.sum("n_tok")).collect()
             dt = time.perf_counter() - t0
             queries["decode_tokens"] = min(queries.get("decode_tokens", dt), dt)
+            if r > 0:  # bound temp disk to one encoded copy
+                shutil.rmtree(f"{encoded_path}_{r - 1}", ignore_errors=True)
         extras["tokens_per_sec"] = n_tokens / queries["encode_tokens"]
         extras["n_tokens"] = int(n_tokens)
         extras["compression_ratio"] = stats["enc_bytes"] / max(stats["raw_bytes"], 1)

@@ -27,8 +27,15 @@ def date_from_days(col: Column) -> Column:
 
 
 def time_millis(col: Column) -> Column:
-    """TIME_MILLIS: int32 millis -> day-time interval (converted_types.py:69-70)."""
-    return (col.cast("long") * F.lit(1000)).cast("interval day to second")
+    """TIME_MILLIS: int32 millis -> day-time interval (converted_types.py:69-70).
+
+    Built with make_dt_interval on an exact decimal seconds value: casting
+    an integral straight to `interval day to second` interprets it as
+    SECONDS (the target's end-field unit), which would inflate the value
+    1000x."""
+    return F.make_dt_interval(
+        secs=col.cast("decimal(23,3)") / F.lit(1000)
+    )
 
 
 def timestamp_from_millis(col: Column) -> Column:
@@ -39,8 +46,11 @@ def timestamp_from_millis(col: Column) -> Column:
 def time_micros(col: Column) -> Column:
     """TIME_MICROS: int64 micros -> day-time interval.  Unhandled by the
     reference (converted_types.py:88-90 logs and passes raw) — added for
-    logical-type completeness."""
-    return col.cast("long").cast("interval day to second")
+    logical-type completeness.  Exact decimal division: a raw integral
+    cast to the interval type would read the value as seconds (1e6x)."""
+    return F.make_dt_interval(
+        secs=col.cast("decimal(26,6)") / F.lit(1000000)
+    )
 
 
 def timestamp_from_micros(col: Column) -> Column:
@@ -92,7 +102,12 @@ def interval_to_flba(months: Column, days: Column, millis: Column) -> Column:
     """Inverse of interval_from_flba (fixture/ingest path)."""
 
     def le(c: Column) -> Column:
-        h = F.lpad(F.hex(c.cast("long")), 8, "0")
+        # pmod forces the value into uint32 range first: without it, lpad
+        # of a >8-digit hex string would silently keep the HIGH-order
+        # digits (dropping the low word), and negative longs would encode
+        # as 16 F-digits.  Out-of-range inputs therefore wrap mod 2^32 —
+        # the uint32 wire's arithmetic — instead of corrupting.
+        h = F.lpad(F.hex(F.pmod(c.cast("long"), F.lit(2**32))), 8, "0")
         return F.concat(
             F.substring(h, 7, 2), F.substring(h, 5, 2),
             F.substring(h, 3, 2), F.substring(h, 1, 2),

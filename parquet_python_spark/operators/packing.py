@@ -26,10 +26,16 @@ Total data movement: the offsets join shuffles the token arrays once, the
 piece regroup shuffles them once more — the theoretical minimum for "order
 globally, regroup by window" without assuming pre-sorted input.
 
-The offsets stage is persisted (single-slot cache) because two actions
-consume the range-partitioned lineage; without the persist the second
-action could re-sample range boundaries and recompute different partition
-ids.
+The offsets stage is **localCheckpoint(eager=True)**-materialized: two
+actions consume the range-partitioned lineage (the totals collect and the
+final job), and the driver-side base offsets are only valid for the exact
+partition-id assignment they were collected from.  A plain persist could
+be evicted or unpersisted (e.g. by an interleaved second call) and the
+recompute could re-sample range boundaries into different pids —
+silently corrupting offsets.  Checkpointing cuts the lineage instead:
+recomputation is impossible, and a lost executor surfaces as an error,
+never a wrong answer.  (On a real cluster, a reliable checkpoint dir or a
+blocks-table write would serve the same role.)
 """
 
 from __future__ import annotations
@@ -42,9 +48,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["pack_sequences"]
-
-# single-slot cache registry for the persisted offsets stage
-_last_offsets = None
 
 
 def _doc_offsets(tok: DataFrame, n_parts: int) -> DataFrame:
@@ -88,18 +91,13 @@ def _doc_offsets(tok: DataFrame, n_parts: int) -> DataFrame:
                 names=["doc_id", "n_tok", "pid", "local_start"],
             )
 
-    local = parted.mapInArrow(running, schema=out_schema)
-
-    global _last_offsets
-    from pyspark import StorageLevel
-
-    local = local.persist(StorageLevel.MEMORY_AND_DISK)
-    if _last_offsets is not None:
-        try:
-            _last_offsets.unpersist(blocking=False)
-        except Exception:  # noqa: BLE001 - session may already be gone
-            pass
-    _last_offsets = local
+    # lineage-cutting materialization: the per-pid base offsets collected
+    # below are frozen against exactly this pid assignment (see module
+    # docstring) — blocks are reference-counted and GC-cleaned, so
+    # interleaved pack_sequences calls cannot invalidate each other
+    local = parted.mapInArrow(running, schema=out_schema).localCheckpoint(
+        eager=True
+    )
 
     # per-partition totals -> driver cumsum -> broadcast base offsets.
     # n_parts rows: metadata-sized at any scale.

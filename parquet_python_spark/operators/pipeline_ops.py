@@ -359,13 +359,29 @@ def remap_tokens(
     import pyarrow as pa
     from pyspark.sql import types as T
 
+    # element dtype follows the input schema (array<int> vs array<bigint>);
+    # a mapping target past int32 with an int32 column is a loud error, not
+    # a silent wraparound
+    tok_field = next(f for f in tok.schema.fields if f.name == "tokens")
+    elem_spark = tok_field.dataType.elementType
+    wide = isinstance(elem_spark, T.LongType)
+    np_t = np.int64 if wide else np.int32
+    pa_t = pa.int64() if wide else pa.int32()
+    lo_t, hi_t = (-(2**63), 2**63 - 1) if wide else (-(2**31), 2**31 - 1)
+    for v in list(mapping.values()) + ([default] if default is not None else []):
+        if not lo_t <= int(v) <= hi_t:
+            raise ValueError(
+                f"mapping value {v} does not fit the tokens element type "
+                f"{elem_spark.simpleString()}"
+            )
+
     size = max(mapping, default=0) + 1
     # default=None: unmapped ids keep identity; default set: every id not
     # in the mapping becomes the default (UNK semantics)
     lut = (
-        np.arange(size, dtype=np.int32)
+        np.arange(size, dtype=np_t)
         if default is None
-        else np.full(size, default, dtype=np.int32)
+        else np.full(size, default, dtype=np_t)
     )
     for old, new in mapping.items():
         lut[old] = new
@@ -376,7 +392,7 @@ def remap_tokens(
     out_schema = T.StructType(
         [T.StructField(n, d, True) for n, d in fields]
     )
-    default_np = None if default is None else np.int32(default)
+    default_np = None if default is None else np_t(default)
 
     def gather(batches):
         import pyarrow.compute as pc
@@ -388,10 +404,18 @@ def remap_tokens(
             # offsets from lengths keeps the kernel correct for any batch
             # layout (unlike reusing .offsets, which is absolute-indexed)
             flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
-                np.int32, copy=False
+                np_t, copy=False
             )
-            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
-            offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+            lens_arr = pc.list_value_length(arr)
+            # null lists: length comes back null — treat as 0 for the
+            # offsets and re-attach validity so NULL rows stay NULL
+            # (instead of cumsum-ing NaN into negative offsets)
+            null_mask = None
+            if arr.null_count:
+                null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+                lens_arr = pc.fill_null(lens_arr, 0)
+            lens = lens_arr.to_numpy(zero_copy_only=False)
+            offsets = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(lens, out=offsets[1:])
             in_table = (flat >= 0) & (flat < size)
             fallback = flat if default_np is None else default_np
@@ -399,8 +423,11 @@ def remap_tokens(
                 in_table, lut[np.clip(flat, 0, size - 1)], fallback
             )
             cols["tokens"] = pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int32()),
-                pa.array(out, type=pa.int32()),
+                pa.array(offsets.astype(np.int32), type=pa.int32()),
+                pa.array(out, type=pa_t),
+                mask=(
+                    pa.array(null_mask) if null_mask is not None else None
+                ),
             )
             yield pa.RecordBatch.from_arrays(
                 [cols[n] for n, _ in fields], names=[n for n, _ in fields]

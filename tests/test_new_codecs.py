@@ -303,13 +303,59 @@ def test_int8_int16_micros_enum(spark):
     assert out[70000]["i16"] == 4464
 
     ts = df.select(
-        F.unix_micros(timestamp_from_micros(F.col("v") * 1000000)).alias("us")
+        "v",
+        F.unix_micros(timestamp_from_micros(F.col("v") * 1000000)).alias("us"),
     ).collect()
-    assert all(r["us"] % 1000000 == 0 for r in ts)
+    assert all(r["us"] == r["v"] * 1000000 for r in ts)
 
     ed = spark.createDataFrame([(b"RED",), (b"GREEN",)], ["e"])
     vals = {r[0] for r in ed.select(enum_str(F.col("e"))).collect()}
     assert vals == {"RED", "GREEN"}
 
-    td = df.select(time_micros(F.col("v") * 1000000).alias("t")).collect()
-    assert td[0]["t"] is not None or True  # interval materializes
+    # exact interval values: 1_000_000 us == 1 s, 90_061_000_000 us ==
+    # 1d 1h 1m 1s (a raw integral->interval cast would read the value as
+    # SECONDS and be 1e6x off)
+    import datetime
+
+    td = {r["v"]: r["t"] for r in df.select(
+        "v", time_micros(F.col("v") * F.lit(1000000)).alias("t")
+    ).collect()}
+    assert td[127] == datetime.timedelta(seconds=127)
+    big = spark.range(1).select(
+        time_micros(F.lit(90061000000)).alias("t")
+    ).collect()[0]["t"]
+    assert big == datetime.timedelta(days=1, hours=1, minutes=1, seconds=1)
+
+
+def test_time_millis_unit(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.functions.converted import time_millis
+
+    out = spark.range(1).select(
+        time_millis(F.lit(1500)).alias("a"),
+        time_millis(F.lit(86400000)).alias("b"),
+    ).collect()[0]
+    assert out["a"] == datetime.timedelta(seconds=1, milliseconds=500)
+    assert out["b"] == datetime.timedelta(days=1)
+
+
+def test_interval_to_flba_out_of_range_wraps(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.functions.converted import (
+        interval_from_flba,
+        interval_to_flba,
+    )
+
+    # values wrap mod 2^32 (the uint32 wire) instead of silently keeping
+    # high-order hex digits; negatives wrap to their two's-complement image
+    iv = interval_from_flba(
+        interval_to_flba(F.lit(2**32 + 5), F.lit(-1), F.lit(7))
+    )
+    r = spark.range(1).select(
+        iv["months"].alias("m"), iv["days"].alias("d"), iv["millis"].alias("ms")
+    ).collect()[0]
+    assert (r["m"], r["d"], r["ms"]) == (5, 2**32 - 1, 7)

@@ -98,3 +98,30 @@ def test_remap_tokens(spark):
     out2 = {r["doc_id"]: list(r["tokens"])
             for r in remap_tokens(df, {0: 100, 5: 105}, default=-1).collect()}
     assert out2 == {"a": [100, 105, -1, -1], "b": [], "c": [105, 105, -1]}
+
+
+def test_remap_tokens_null_lists_and_bigint(spark):
+    import pytest as _pytest
+
+    from parquet_python_spark.operators.pipeline_ops import remap_tokens
+
+    df = spark.createDataFrame(
+        [("a", [0, 5], 2, "s"), ("b", None, 0, "s"), ("c", [1], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = {r["doc_id"]: (None if r["tokens"] is None else list(r["tokens"]))
+           for r in remap_tokens(df, {0: 100}).collect()}
+    assert out == {"a": [100, 5], "b": None, "c": [1]}
+
+    # bigint element type carries 64-bit mapping targets
+    dfl = spark.createDataFrame(
+        [("a", [0, 5], 2, "s")],
+        "doc_id string, tokens array<bigint>, n_tok int, source string",
+    )
+    big = 3_000_000_000
+    out = list(remap_tokens(dfl, {5: big}).collect()[0]["tokens"])
+    assert out == [0, big]
+
+    # 64-bit target on an int32 column is a loud error, not wraparound
+    with _pytest.raises(ValueError, match="does not fit"):
+        remap_tokens(df, {5: big})
