@@ -356,6 +356,20 @@ def _pack_windows(spark, sf_dir):
     ).select("window_id", F.col("pos").cast("long").alias("pos"), "token")
 
 
+def _pack_spans(spark, sf_dir):
+    """Document-boundary spans of the packed stream (attention-mask /
+    loss-boundary metadata): (window_id, doc_id, off, len) per
+    window-document overlap."""
+    from parquet_python_spark.operators.packing import pack_spans
+
+    return pack_spans(_derived_tokens(spark, sf_dir), window=512).select(
+        "window_id",
+        "doc_id",
+        F.col("off").cast("long").alias("off"),
+        F.col("len").cast("long").alias("len"),
+    )
+
+
 def _remap_vocab(spark, sf_dir):
     """Tokenizer-migration remap over the tokens column: numpy lookup-table
     gather through the Arrow list buffers (mapInArrow, no shuffle/join).
@@ -800,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_tokens_pruned": _rt_tokens_pruned,
         "rt_tokens_compacted": _rt_tokens_compacted,
         "pack_windows": _pack_windows,
+        "pack_spans": _pack_spans,
         "remap_vocab": _remap_vocab,
         "converted_bson": _converted_bson,
         "sink_roundtrips": _sink_roundtrips,
@@ -879,6 +894,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tok, source, "
             "list_transform(range(0, n_tok), "
             "i -> CAST((did*31 + i*7) % 65536 AS INT)) AS toks FROM tok)"
+        ),
+        "pack_spans": (
+            "WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(n_chars % 240 + 16 AS INT) AS n_tok, "
+            "CAST(doc_id AS BIGINT) AS did FROM documents), "
+            "g AS (SELECT doc_id, list_transform(range(0, n_tok), "
+            "i -> CAST((did*31 + i*7) % 65536 AS INT)) AS toks FROM tok), "
+            "flat AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p "
+            "FROM g), "
+            "o AS (SELECT doc_id, "
+            "row_number() OVER (ORDER BY doc_id, p) - 1 AS gpos FROM flat) "
+            "SELECT w AS window_id, doc_id, "
+            "CAST(min(gpos) - w * 512 AS BIGINT) AS off, "
+            "CAST(count(*) AS BIGINT) AS len FROM ("
+            "SELECT doc_id, gpos, CAST(gpos // 512 AS BIGINT) AS w FROM o) "
+            "GROUP BY w, doc_id"
         ),
         "remap_vocab": (
             "WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "pack_spans"]
 
 
 def _doc_offsets(tok: DataFrame, n_parts: int) -> DataFrame:
@@ -119,6 +119,47 @@ def _doc_offsets(tok: DataFrame, n_parts: int) -> DataFrame:
             "doc_id",
             "n_tok",
             (F.col("local_start") + F.coalesce("base", F.lit(0))).alias("start"),
+        )
+    )
+
+
+def pack_spans(
+    tok: DataFrame, window: int = 2048, n_parts: int | None = None
+) -> DataFrame:
+    """Document-boundary metadata of the packed stream: one row per
+    (window, document) overlap — (window_id, doc_id, off, len), where
+    ``off`` is the document piece's offset inside its window.  Trainers
+    consume this for attention masking / loss-boundary handling.
+
+    Same plan shape as pack_sequences up to the pieces stage, minus the
+    token arrays: rows are piece-scale, payload-free — strictly cheaper
+    than the packing itself."""
+    if n_parts is None:
+        n_parts = tok.sparkSession.sparkContext.defaultParallelism
+    offs = _doc_offsets(tok, n_parts)
+    docs = offs  # (doc_id, n_tok, start) — no token payload needed
+
+    w = F.col("wid")
+    lo = F.greatest(w * window - F.col("start"), F.lit(0))
+    hi = F.least((w + 1) * window - F.col("start"), F.col("n_tok"))
+    return (
+        docs.filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            "start",
+            "n_tok",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start DIV {int(window)}"),
+                    F.expr(f"(start + n_tok - 1) DIV {int(window)}"),
+                )
+            ).alias("wid"),
+        )
+        .select(
+            F.col("wid").alias("window_id"),
+            "doc_id",
+            (F.col("start") + lo - w * window).alias("off"),
+            (hi - lo).alias("len"),
         )
     )
 

@@ -125,3 +125,42 @@ def test_remap_tokens_null_lists_and_bigint(spark):
     # 64-bit target on an int32 column is a loud error, not wraparound
     with _pytest.raises(ValueError, match="does not fit"):
         remap_tokens(df, {5: big})
+
+
+def test_pack_spans_consistency(spark):
+    """Spans tile every window exactly and agree with the packed tokens."""
+    from parquet_python_spark.operators.packing import pack_sequences, pack_spans
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"d{i:03d}", rng.integers(0, 999, rng.integers(1, 50)).tolist())
+        for i in range(60)
+    ]
+    df = _docs(spark, rows)
+    W = 32
+    packed = {r["window_id"]: list(r["tokens"])
+              for r in pack_sequences(df, window=W).collect()}
+    spans = pack_spans(df, window=W).collect()
+
+    by_w: dict[int, list] = {}
+    for s in spans:
+        by_w.setdefault(s["window_id"], []).append(s)
+    assert set(by_w) == set(packed)
+    doc_tokens = dict(rows)
+    consumed = {d: 0 for d, _ in rows}
+    for w, ss in by_w.items():
+        ss = sorted(ss, key=lambda s: s["off"])
+        # spans tile the window contiguously from 0
+        pos = 0
+        for s in ss:
+            assert s["off"] == pos
+            pos += s["len"]
+        assert pos == len(packed[w])
+        # and the tokens under each span are that document's next chunk
+        for s in ss:
+            d = s["doc_id"]
+            expect = doc_tokens[d][consumed[d] : consumed[d] + s["len"]]
+            got = packed[w][s["off"] : s["off"] + s["len"]]
+            assert got == expect
+            consumed[d] += s["len"]
+    assert consumed == {d: len(t) for d, t in rows}
