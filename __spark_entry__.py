@@ -539,6 +539,12 @@ def _dedup_simhash(spark, sf_dir):
     return dedup_simhash(_t(spark, sf_dir, "documents"))
 
 
+def _dedup_simhash_pairs(spark, sf_dir):
+    from parquet_python_spark.operators.pipeline_ops import dedup_simhash_pairs
+
+    return dedup_simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=20)
+
+
 def _lang_id(spark, sf_dir):
     from parquet_python_spark.operators.pipeline_ops import lang_id
 
@@ -827,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "lang_id": _lang_id,
         "token_count": _token_count,
         "quality_score": _quality_score,
@@ -1186,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'de' END AS lang_pred FROM s"
         ),
         "dedup_simhash": _simhash_oracle(),
+        "dedup_simhash_pairs": _simhash_pairs_oracle(),
         # dedup_minhash / near_dup_embeddings_lsh / ann_lsh_topk /
         # ann_ivf_topk: LSH banding, random-hyperplane bucketing and the
         # k-means coarse quantizer are not ANSI-SQL-expressible; the driver
@@ -1212,6 +1220,14 @@ def _simhash_oracle() -> str:
     from parquet_python_spark.operators.pipeline_ops import simhash_oracle_sql
 
     return simhash_oracle_sql("documents")
+
+
+def _simhash_pairs_oracle() -> str:
+    from parquet_python_spark.operators.pipeline_ops import (
+        simhash_pairs_oracle_sql,
+    )
+
+    return simhash_pairs_oracle_sql("documents", max_hamming=20)
 
 
 def _nation_fixture_oracle() -> str:

@@ -170,6 +170,72 @@ def dedup_simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
+def dedup_simhash_pairs(
+    docs: DataFrame, bits: int = SIMHASH_BITS, bands: int = 4, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup candidate pairs via band bucketing.
+
+    Split each fingerprint into ``bands`` equal bit-slices; docs sharing
+    any slice become candidates (a pair within Hamming distance
+    bands-1 matches at least one band by pigeonhole), then the exact
+    Hamming distance filters to <= max_hamming.  One shuffle on
+    (band_idx, band_val) — no all-pairs anywhere; bit_count is a JVM
+    built-in, so the whole op is SQL-oracle-expressible."""
+    width = bits // bands
+    fps = dedup_simhash(docs, bits)
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        # bands is a build-time constant, so the slices are literal-shift
+        # expressions (shiftrightunsigned takes an int, not a Column)
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", j * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band_idx", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs_oracle_sql(
+    table: str = "documents", bits: int = SIMHASH_BITS,
+    bands: int = 4, max_hamming: int = 8,
+) -> str:
+    """DuckDB SQL computing the identical candidate pairs."""
+    width = bits // bands
+    fp_sql = simhash_oracle_sql(table, bits)
+    return (
+        f"WITH fp AS ({fp_sql}), "
+        f"banded AS (SELECT doc_id, simhash, b AS band_idx, "
+        f"(simhash >> (b * {width})) & {(1 << width) - 1} AS band_val "
+        f"FROM fp, range({bands}) AS r(b)) "
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        f"FROM banded a JOIN banded b USING (band_idx, band_val) "
+        f"WHERE a.doc_id < b.doc_id "
+        f"AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
 def simhash_oracle_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
     """DuckDB SQL computing the identical fingerprint (shared formula)."""
     sums = ", ".join(

@@ -183,3 +183,27 @@ def test_stratified_sample_rate_zero_and_full(spark):
     )
     assert stratified_sample(docs, {"en": 0}).count() == 0
     assert stratified_sample(docs, {"en": 1000}).count() == 100
+
+
+def test_simhash_pairs_pigeonhole(spark):
+    from parquet_python_spark.operators.pipeline_ops import (
+        dedup_simhash,
+        dedup_simhash_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # identical
+        (3, "the quick brown fox jumps over a lazy dog"),     # near dup
+        (4, "entirely unrelated text about columnar codecs"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup_simhash_pairs(docs, max_hamming=20).collect()}
+    # identical docs share every band: hamming 0 pair always surfaces
+    assert pairs.get((1, 2)) == 0
+    # candidates agree with the exact hamming of the fingerprints
+    fps = {r["doc_id"]: r["simhash"] for r in dedup_simhash(docs).collect()}
+    for (a, b), h in pairs.items():
+        assert bin(fps[a] ^ fps[b]).count("1") == h
+        assert h <= 20
