@@ -513,6 +513,12 @@ def _text_stats(spark, sf_dir):
     return text_stats(_t(spark, sf_dir, "documents"))
 
 
+def _scrub_pii(spark, sf_dir):
+    from parquet_python_spark.operators.pipeline_ops import scrub_pii
+
+    return scrub_pii(_t(spark, sf_dir, "documents"))
+
+
 def _doc_fingerprint(spark, sf_dir):
     from parquet_python_spark.operators.pipeline_ops import doc_fingerprint
 
@@ -830,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "text_stats": _text_stats,
         "doc_fingerprint": _doc_fingerprint,
+        "scrub_pii": _scrub_pii,
         "ann_cosine_topk": _ann_cosine_topk,
         "dedup_minhash": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
@@ -1030,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "scrub_pii": _scrub_pii_oracle(),
         "token_count": (
             r"SELECT doc_id, "
             r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) "
@@ -1220,6 +1228,12 @@ def _simhash_oracle() -> str:
     from parquet_python_spark.operators.pipeline_ops import simhash_oracle_sql
 
     return simhash_oracle_sql("documents")
+
+
+def _scrub_pii_oracle() -> str:
+    from parquet_python_spark.operators.pipeline_ops import scrub_pii_oracle_sql
+
+    return scrub_pii_oracle_sql("documents")
 
 
 def _simhash_pairs_oracle() -> str:

@@ -257,6 +257,47 @@ def simhash_oracle_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> st
     )
 
 
+_PII_PATTERNS = [
+    # order matters: emails before bare domains-ish words, IPs before numbers
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?[0-9][0-9()\-. ]{7,}[0-9]\b", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training text: emails, IPv4s and phone-shaped
+    number runs replaced with typed placeholder tokens, plus per-doc hit
+    counts for corpus auditing.  A chain of JVM regexp_replace/regexp_count
+    — narrow map, no Python, no shuffle; the same regexes run verbatim in
+    the DuckDB oracle."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, rx, repl in _PII_PATTERNS:
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(rx)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, rx, repl)
+    return docs.select("doc_id", *counts, scrubbed.alias("text_clean"))
+
+
+def scrub_pii_oracle_sql(table: str = "documents") -> str:
+    """DuckDB SQL computing the identical scrub (shared patterns)."""
+    expr = "text"
+    counts = []
+    for name, rx, repl in _PII_PATTERNS:
+        rx_sql = rx.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{rx_sql}')) AS BIGINT) "
+            f"AS n_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{rx_sql}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, {', '.join(counts)}, {expr} AS text_clean "
+        f"FROM {table}"
+    )
+
+
 # -------------------------------------------------------------- text stats
 
 def text_stats(docs: DataFrame) -> DataFrame:

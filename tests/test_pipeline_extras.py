@@ -207,3 +207,21 @@ def test_simhash_pairs_pigeonhole(spark):
     for (a, b), h in pairs.items():
         assert bin(fps[a] ^ fps[b]).count("1") == h
         assert h <= 20
+
+
+def test_scrub_pii(spark):
+    from parquet_python_spark.operators.pipeline_ops import scrub_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call +1 (415) 555-0199"),
+        (2, "server at 192.168.10.1 responded"),
+        (3, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["text_clean"]
+    assert "jane" not in out[1]["text_clean"]
+    assert out[1]["n_phone"] == 1 and "<PHONE>" in out[1]["text_clean"]
+    assert out[2]["n_ipv4"] == 1 and "<IP>" in out[2]["text_clean"]
+    assert out[3]["text_clean"] == "nothing sensitive here"
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
