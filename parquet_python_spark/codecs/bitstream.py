@@ -74,9 +74,14 @@ def pack_bits_lsb(values: np.ndarray, width: int) -> bytes:
     if vals.dtype.kind not in "iu":
         vals = vals.astype(np.int64)
     if width > 57:
-        # rare fallback: explicit (n, width) bit matrix
+        # rare fallback: explicit (n, width) bit matrix.  Zero-pad the tail
+        # to a full 8-value group (callers like FOR/bitpack hand over raw
+        # counts; the reference's group grammar zero-fills and truncates on
+        # decode, __init__.py:366-368, so padded zeros are wire-legal)
         if n % 8:
-            raise ValueError("pack_bits_lsb needs a multiple of 8 values")
+            vals = np.concatenate(
+                [vals, np.zeros(8 - n % 8, dtype=vals.dtype)]
+            )
         v64 = np.ascontiguousarray(vals, dtype=np.uint64)
         shifts = np.arange(width, dtype=np.uint64)
         bits = ((v64[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)

@@ -712,6 +712,11 @@ def decode_blocks_pruned(
     intersects [lo, hi] are shuffled + decoded; the exact predicate is
     re-applied on the decoded rows.  Blocks written before stats existed
     (stat_min null) are never pruned — correctness over savings."""
+    if "stat_min" not in blocks.columns:
+        # a blocks table written entirely before stats existed has no
+        # stat columns at all (not just null values): the docstring's
+        # never-prune promise means decode everything
+        return _pruned_residual(decode_blocks(blocks), column, lo, hi)
     with_stats = blocks.filter(
         (F.col("column") == column) & F.col("stat_min").isNotNull()
     ).select("part_id", "stat_min", "stat_max")
@@ -740,6 +745,7 @@ def decode_blocks_files_pruned(
     range-clustered layout that is the difference between scanning the
     table and scanning the matching slice.
     """
+    _repair_compaction(blocks_path)
     files = list_input_files(blocks_path)
     paths_df = spark.createDataFrame(
         [(i, f) for i, f in enumerate(files)], "file_idx int, path string"
@@ -803,6 +809,7 @@ def current_blocks(
     since-removed files); consumers that must mirror the input exactly —
     e.g. the encode job's --verify round-trip — filter through this.
     """
+    _repair_compaction(blocks_path)
     blocks = spark.read.parquet(blocks_path)
     if mode in ("files", "narrow-ipc"):
         keys = [file_key(f) for f in resolve_input_files(input_path)]
@@ -822,7 +829,14 @@ def decode_blocks_files(spark: SparkSession, blocks_path: str) -> DataFrame:
     file reads it with pyarrow and decodes part-by-part — the payload bytes
     never cross an exchange (decode_blocks' groupBy shuffles the full
     compressed payload; at 100 TB that shuffle IS the decode job's cost).
+
+    Every directory-reading entry point repairs interrupted compactions
+    first: a crash between a bin's rename and its source deletes would
+    otherwise serve that bin's rows TWICE until the next compact_blocks
+    run (the sidecar protocol makes the repair exact — see
+    _repair_compaction).
     """
+    _repair_compaction(blocks_path)
     files = list_input_files(blocks_path)
     paths_df = spark.createDataFrame(
         [(i, f) for i, f in enumerate(files)], "file_idx int, path string"

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from ..codecs import decode_column, encode_column, params_from_json, params_to_json
 from ..codecs.arrow_io import (
+    _combined,
     decode_str_column,
     encode_str_column,
     list_column_flat,
@@ -93,12 +94,6 @@ TARGET_ROWS_PER_PART = 262_144
 
 # single-slot cache registry for roundtrip_filtered's persisted blocks
 _last_filtered_blocks = None
-
-
-def _combined(arr):
-    if isinstance(arr, pa.ChunkedArray):
-        return arr.combine_chunks()
-    return arr
 
 
 def _def_levels_blob(valid: np.ndarray) -> bytes:
@@ -189,13 +184,19 @@ def _decode_values(
     return pc.take(arr, pa.array(idx, mask=~valid))
 
 
-def plan_n_parts(df: DataFrame, n_parts: int | None) -> int:
+def plan_n_parts(
+    df: DataFrame, n_parts: int | None, known_rows: int | None = None
+) -> int:
     """Derive encode parallelism from data size: ~TARGET_ROWS_PER_PART rows
     per partition, floored at the cluster's default parallelism (never a
-    fixed constant — the round-1 hard ceiling at scale)."""
+    fixed constant — the round-1 hard ceiling at scale).
+
+    Pass ``known_rows`` when a caller already has the count from another
+    aggregate — df.count() is metadata-only for raw parquet scans but
+    executes the full upstream plan for derived inputs."""
     if n_parts is not None:
         return n_parts
-    rows = df.count()  # metadata-only for parquet scans
+    rows = known_rows if known_rows is not None else df.count()
     spark = df.sparkSession
     floor = spark.sparkContext.defaultParallelism
     return int(max(floor, min(65536, -(-rows // TARGET_ROWS_PER_PART))))
@@ -219,23 +220,50 @@ def encode_df(
     the data; n_parts scales with the row count unless pinned.
     """
     forced_codecs = forced_codecs or {}
-    n_parts = plan_n_parts(df, n_parts)
     cols = [key_col] + [c for c in col_kinds if c != key_col]
     if partitioning == "range":
+        # one combined pass for bounds AND the row count plan_n_parts
+        # needs — a separate count() would execute the upstream plan twice
+        # for derived (non-scan) inputs
         bounds = df.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+            F.min(key_col).alias("lo"),
+            F.max(key_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
+        n_parts = plan_n_parts(df, n_parts, known_rows=int(bounds["n"]))
         if bounds["lo"] is None:  # empty input: single (empty) partition
             part_expr = F.lit(0)
         else:
             lo, hi = int(bounds["lo"]), int(bounds["hi"])
             span = max(hi - lo + 1, 1)
-            part_expr = F.least(
-                F.lit(n_parts - 1),
-                ((F.col(key_col).cast("long") - F.lit(lo)) * n_parts / F.lit(span))
-                .cast("int"),
-            )
+            if span <= (2**62) // max(n_parts, 1):
+                # exact integer bucketing
+                part_expr = F.least(
+                    F.lit(n_parts - 1),
+                    (
+                        (F.col(key_col).cast("long") - F.lit(lo))
+                        * n_parts / F.lit(span)
+                    ).cast("int"),
+                )
+            else:
+                # wide key ranges (e.g. hash-derived int64 keys): the exact
+                # formula would overflow (key-lo)*n_parts past int64 and
+                # wrap part ids negative (or throw under ANSI).  Bucket on
+                # the double fraction instead — monotonic and
+                # deterministic; the slight boundary fuzz only shifts
+                # rows between ADJACENT buckets, which zone-map pruning
+                # tolerates (stats stay exact per block)
+                frac = (
+                    F.col(key_col).cast("double") - F.lit(float(lo))
+                ) / F.lit(float(span))
+                part_expr = F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(n_parts - 1), (frac * n_parts).cast("int")
+                    ),
+                )
     elif partitioning == "hash":
+        n_parts = plan_n_parts(df, n_parts)
         part_expr = F.pmod(
             F.crc32(F.coalesce(F.col(key_col).cast("string"), F.lit(""))),
             F.lit(n_parts),

@@ -413,7 +413,9 @@ def stratified_sample(
         [(str(s), int(p)) for s, p in rates_permille.items()],
         f"{strata_col} string, __permille int",
     )
-    h = F.md5(F.col(key_col).cast("string"))
+    # NULL keys hash as '' (md5(NULL) would propagate NULL through the
+    # bucket and the filter would silently drop the row even at rate 1000)
+    h = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
     nib = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
     bucket = sum((nib(i + 1) * (16**i) for i in range(5)), F.lit(0))
     return (
@@ -436,8 +438,8 @@ def stratified_sample_oracle_sql(
 ) -> str:
     """DuckDB SQL computing the identical sample (shared md5-nibble bucket)."""
     bucket = " + ".join(
-        f"(instr('{_HEX}', substr(md5(CAST({key_col} AS VARCHAR)), {i + 1}, 1))"
-        f" - 1) * {16**i}"
+        f"(instr('{_HEX}', substr(md5(COALESCE(CAST({key_col} AS VARCHAR), "
+        f"'')), {i + 1}, 1)) - 1) * {16**i}"
         for i in range(5)
     )
     cases = " ".join(
@@ -524,6 +526,13 @@ def remap_tokens(
             lens = lens_arr.to_numpy(zero_copy_only=False)
             offsets = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(lens, out=offsets[1:])
+            if offsets[-1] >= 2**31:
+                # the int32 Arrow offsets below would wrap silently into
+                # corrupt lists — same loud guard as the engine decoders
+                raise ValueError(
+                    "token batch exceeds int32 list-offset range; "
+                    "lower spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             in_table = (flat >= 0) & (flat < size)
             fallback = flat if default_np is None else default_np
             out = np.where(

@@ -109,3 +109,26 @@ def test_embeddings_float_bit_exact(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert np.array_equal(a[k], b[k])  # bit-exact, not approx
+
+
+def test_range_partitioning_wide_key_span(spark):
+    """Hash-derived int64 keys spanning most of the int64 range: the exact
+    integer bucketing formula would overflow (key-lo)*n_parts; the double
+    fallback must keep part ids in [0, n_parts) and the round-trip exact."""
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.operators.generic_codec import encode_df, roundtrip
+
+    df = spark.range(0, 500).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("k"),
+        F.col("id").alias("v"),
+    )
+    blocks = encode_df(
+        df, "k", {"k": "int", "v": "int"}, n_parts=8, partitioning="range"
+    )
+    pids = [r["part_id"] for r in blocks.select("part_id").distinct().collect()]
+    assert all(0 <= p < 8 for p in pids)
+    rt = roundtrip(df, "k", {"k": "int", "v": "int"}, n_parts=8)
+    got = sorted((r["k"], r["v"]) for r in rt.collect())
+    exp = sorted((r["k"], r["v"]) for r in df.collect())
+    assert got == exp

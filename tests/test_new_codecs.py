@@ -359,3 +359,20 @@ def test_interval_to_flba_out_of_range_wraps(spark):
         iv["months"].alias("m"), iv["days"].alias("d"), iv["millis"].alias("ms")
     ).collect()[0]
     assert (r["m"], r["d"], r["ms"]) == (5, 2**32 - 1, 7)
+
+
+def test_for_wide_width_unaligned_count():
+    """FOR at widths 58..62 (selector-admissible) with counts that are not
+    multiples of 8: the >57-bit pack fallback must zero-pad the tail group
+    itself (reference zero-fill grammar) instead of raising."""
+    import numpy as np
+
+    from parquet_python_spark.codecs.forpack import decode_for, encode_for
+
+    rng = np.random.default_rng(5)
+    for n in (1, 7, 62, 100):
+        vals = rng.integers(-(2**61), 2**61, n).astype(np.int64)
+        payload, params = encode_for(vals)
+        assert 58 <= params["width"] <= 62 or n == 1
+        back = decode_for(payload, n, params)
+        assert np.array_equal(back, vals)

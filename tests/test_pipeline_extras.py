@@ -225,3 +225,18 @@ def test_scrub_pii(spark):
     assert out[2]["n_ipv4"] == 1 and "<IP>" in out[2]["text_clean"]
     assert out[3]["text_clean"] == "nothing sensitive here"
     assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_phone"] == 0
+
+
+def test_stratified_sample_null_key(spark):
+    from parquet_python_spark.operators.pipeline_ops import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(None, "en"), (1, "en")], "doc_id int, lang string"
+    )
+    # rate 1000 keeps EVERY row, null key included
+    assert stratified_sample(docs, {"en": 1000}).count() == 2
+    # null key hashes deterministically as '' — same fate at any rate
+    a = {r["doc_id"] for r in stratified_sample(docs, {"en": 500}).collect()}
+    b = {r["doc_id"] for r in stratified_sample(
+        docs.repartition(3), {"en": 500}).collect()}
+    assert a == b
