@@ -201,6 +201,25 @@ def _rt_part_flba(spark, sf_dir):
     return rt.select("p_partkey", F.lower(F.hex("digest")).alias("digest_hex"))
 
 
+def _rt_orders_bool(spark, sf_dir):
+    # D1 PLAIN boolean (reference encoding.py:28-33) through the engine:
+    # 1 bit/value LSB-first, plus a null-woven boolean (D17 interplay)
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice") > 150000).alias("is_big"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice") > 200000)
+        .alias("is_huge_n"),
+    )
+    return roundtrip(
+        orders,
+        "o_orderkey",
+        {"o_orderkey": "int", "is_big": "bool", "is_huge_n": "bool"},
+    )
+
+
 def _rt_orders_int96(spark, sf_dir):
     # D4 PLAIN int96 (reference encoding.py:51-54) mapped to timestamps:
     # epoch millis -> Impala-layout (nanos-of-day, julian day) wire -> back.
@@ -821,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_region_nation_supplier": _rt_region_nation_supplier,
         "rt_lineitem_pruned": _rt_lineitem_pruned,
         "rt_part_flba": _rt_part_flba,
+        "rt_orders_bool": _rt_orders_bool,
         "rt_orders_int96": _rt_orders_int96,
         "rt_fixture_nation": _rt_fixture_nation,
         "rt_tokens_pruned": _rt_tokens_pruned,
@@ -970,6 +990,11 @@ def oracle_sql() -> dict[str, str]:
         "rt_part_flba": (
             "SELECT p_partkey, md5(CAST(p_partkey AS VARCHAR)) AS digest_hex "
             "FROM part"
+        ),
+        "rt_orders_bool": (
+            "SELECT o_orderkey, o_totalprice > 150000 AS is_big, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+            "ELSE o_totalprice > 200000 END AS is_huge_n FROM orders"
         ),
         "rt_orders_int96": (
             "SELECT o_orderkey, "

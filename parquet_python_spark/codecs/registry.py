@@ -380,6 +380,14 @@ def _encode_column_inner(values, kind: str, codec: str | None):
         params, payload = _enc_str(values, codec)
         stats = {"n": len(values)}
         return codec, params, payload, stats
+    if kind == "bool":
+        # D1 PLAIN boolean (reference encoding.py:28-33): 1 bit per value,
+        # LSB-first — the same width-1 bit-packed layout the reference's
+        # boolean reader consumes
+        from .plain import encode_plain_boolean
+
+        vals = np.asarray(values, dtype=bool)
+        return "plain_bool", {}, encode_plain_boolean(vals), {"n": len(vals)}
     if kind == "float32":
         from .plain import encode_plain_float
 
@@ -425,6 +433,10 @@ def decode_column(
         return _dec_int(payload, n, codec, params, prefer32)
     if kind == "str":
         return _dec_str(payload, n, codec, params)
+    if kind == "bool":
+        from .plain import decode_plain_boolean
+
+        return np.asarray(decode_plain_boolean(payload, n), dtype=bool)
     if kind == "float32":
         from .plain import decode_plain_float
 

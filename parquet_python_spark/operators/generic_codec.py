@@ -16,6 +16,7 @@ Column kinds:
     f32_list — ArrayType(float)  (flattened values + lengths chunk)
     flba     — BinaryType, equal-length values (D7 FIXED_LEN_BYTE_ARRAY)
     int96_ts — epoch-millis int64 via Impala int96 wire (D4)
+    bool     — BooleanType, 1 bit/value LSB-first (D1 PLAIN boolean)
 
 Scale design: both stages are applyInArrow — partitions arrive as Arrow
 tables whose string/list columns are (offsets, data) buffer pairs, and the
@@ -87,6 +88,7 @@ _NUMERIC_NP = {
     "float64": np.float64,
     "float32": np.float32,
     "int96_ts": np.int64,
+    "bool": np.bool_,
 }
 
 # target rows per encode partition; partition count grows with data size

@@ -376,3 +376,37 @@ def test_for_wide_width_unaligned_count():
         assert 58 <= params["width"] <= 62 or n == 1
         back = decode_for(payload, n, params)
         assert np.array_equal(back, vals)
+
+
+def test_bool_kind_registry_roundtrip():
+    """D1 PLAIN boolean through the codec registry (counts not multiples
+    of 8: the tail group zero-pads on the wire, truncates on decode)."""
+    import numpy as np
+
+    from parquet_python_spark.codecs import decode_column, encode_column
+
+    for n in (0, 1, 7, 8, 13, 100):
+        vals = (np.arange(n) % 3 == 0)
+        codec, params, payload, _ = encode_column(vals, "bool")
+        assert codec == "plain_bool"
+        assert len(payload) == (n + 7) // 8
+        out = decode_column(codec, payload, n, params, "bool")
+        assert np.array_equal(np.asarray(out), vals)
+
+
+def test_bool_generic_roundtrip_with_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    df = spark.range(100).select(
+        "id",
+        (F.col("id") % 2 == 0).alias("b"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("id") % 3 == 0)
+        .alias("bn"),
+    )
+    rt = roundtrip(df, "id", {"id": "int", "b": "bool", "bn": "bool"}, n_parts=4)
+    got = {r["id"]: (r["b"], r["bn"]) for r in rt.collect()}
+    exp = {r["id"]: (r["b"], r["bn"]) for r in df.collect()}
+    assert got == exp
