@@ -738,6 +738,22 @@ def _join_customer_nation(spark, sf_dir):
     )
 
 
+def _join_semi_anti(spark, sf_dir):
+    # semi + anti joins (SURVEY §2.4 join family): customers with at least
+    # one order vs customers with none, in one labeled result.  Both sides
+    # broadcast the build set; no row duplication (semi/anti never
+    # multiply rows, unlike inner-join-then-distinct).
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit("has_orders").alias("status"))
+    without = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("status"))
+    return with_orders.unionAll(without)
+
+
 def _window_top_orders(spark, sf_dir):
     # window functions (absent in the reference, SURVEY.md §2.4): top-2
     # orders per customer by price, deterministic tie-break on key
@@ -878,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _agg_pricing_summary,
         "agg_rollup_pricing": _agg_rollup_pricing,
         "join_customer_nation": _join_customer_nation,
+        "join_semi_anti": _join_semi_anti,
         "window_top_orders": _window_top_orders,
         "setop_active_buyers": _setop_active_buyers,
         "asof_click_view": _asof_click_view,
@@ -1151,6 +1168,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.n_name AS nation, count(*) AS n_customers "
             "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name"
+        ),
+        "join_semi_anti": (
+            "SELECT c_custkey, 'has_orders' AS status FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+            "UNION ALL "
+            "SELECT c_custkey, 'no_orders' FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
         ),
         "asof_click_view": (
             "WITH l AS (SELECT event_id, user_id, ts, epoch_ms(ts) AS ts_ms "

@@ -153,6 +153,25 @@ def main() -> None:
     ok = "Exchange hashpartitioning" not in p and "SortMergeJoin" not in p
     checks.append(("remap_vocab: narrow map pass, zero shuffles", ok, p))
 
+    # 17. PII scrub: pure JVM regexp chain, narrow map — no Python, no
+    # shuffle
+    p = _plan(qs["scrub_pii"](spark, sf_dir))
+    ok = "EvalPython" not in p and "Exchange hashpartitioning" not in p
+    checks.append(("scrub_pii: JVM-only narrow map, zero shuffles", ok, p))
+
+    # 18. simhash pairs: band equi-join only — no cartesian/nested-loop
+    p = _plan(qs["dedup_simhash_pairs"](spark, sf_dir))
+    ok = "CartesianProduct" not in p and "NestedLoop" not in p
+    checks.append(
+        ("dedup_simhash_pairs: band equi-join, no cartesian", ok, p)
+    )
+
+    # 19. semi/anti joins: plan as (Broadcast)HashJoin LeftSemi/LeftAnti,
+    # never inner-join-plus-distinct
+    p = _plan(qs["join_semi_anti"](spark, sf_dir))
+    ok = "LeftSemi" in p and "LeftAnti" in p and "CartesianProduct" not in p
+    checks.append(("join_semi_anti: LeftSemi + LeftAnti join nodes", ok, p))
+
     n_bad = 0
     for name, ok, plan in checks:
         mark = "PASS" if ok else "FAIL"
