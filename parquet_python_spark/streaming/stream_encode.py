@@ -102,6 +102,37 @@ def windowed_token_rates(
     )
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "10 minutes",
+):
+    """Streaming exact deduplication with bounded state: rows whose doc_id
+    was already seen within the watermark horizon are dropped.
+
+    dropDuplicatesWithinWatermark keeps one state entry per key only until
+    the watermark passes it — O(keys-in-horizon) state, not O(all keys
+    ever), which is what lets a continuous 100 TB ingest dedup run forever
+    (plain dropDuplicates on an unbounded stream grows state without
+    bound).  The batch twin is pipeline_ops.dedup_exact; this is its
+    late-data-aware streaming counterpart.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("n_tok", T.IntegerType(), False),
+            T.StructField("source", T.StringType(), False),
+            T.StructField("ingest_ts", T.TimestampType(), False),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    return stream.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["doc_id"]
+    )
+
+
 def stateful_source_totals(
     spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None
 ):

@@ -87,3 +87,38 @@ def test_stateful_source_totals_accumulate(spark, tmp_path):
     assert a_snaps[-1] == (3, 30)
     b = [(r["total_rows"], r["total_tokens"]) for r in rows if r["source"] == "b"]
     assert b == [(1, 5)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate doc_ids inside one availableNow run are dropped; unique
+    ids and all columns of the FIRST-seen row pass through."""
+    from parquet_python_spark.streaming.stream_encode import streaming_dedup
+
+    inp = str(tmp_path / "dedup_in")
+    _write_events(
+        spark,
+        inp,
+        [
+            ("d1", 100, "a", TS0),
+            ("d1", 100, "a", TS0 + dt.timedelta(minutes=1)),  # dup
+            ("d2", 50, "a", TS0 + dt.timedelta(minutes=2)),
+            ("d3", 10, "b", TS0 + dt.timedelta(minutes=3)),
+            ("d3", 10, "b", TS0 + dt.timedelta(minutes=3)),   # exact dup
+        ],
+    )
+    out = streaming_dedup(spark, inp, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup").collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == ["d1", "d2", "d3"]
+    # state is keyed on doc_id only: the d1 duplicate with a later ts is
+    # dropped, the survivor keeps its full original row
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id["d2"]["n_tok"] == 50 and by_id["d3"]["source"] == "b"
