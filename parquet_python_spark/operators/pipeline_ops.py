@@ -102,7 +102,13 @@ def dedup_minhash_candidates(
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
     near-dup pairs.  Scale path: one shuffle on (band_idx, band_hash) — no
-    all-pairs comparison anywhere."""
+    all-pairs comparison anywhere.
+
+    The banded table is localCheckpoint-materialized before the self-join:
+    without it Catalyst evaluates the whole subtree — including the MinHash
+    pandas UDF over every document — once per join side (2x the dominant
+    cost).  The materialized table is narrow (doc_id + two ints per band),
+    tiny next to the corpus."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes, k)
     banded = sigs.select(
@@ -116,6 +122,7 @@ def dedup_minhash_candidates(
             )
         ).alias("band_idx", "band"),
     ).select("doc_id", "band_idx", F.hash("band").alias("band_hash"))
+    banded = banded.localCheckpoint(eager=True)
     pairs = (
         banded.alias("a")
         .join(
