@@ -1251,14 +1251,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(),
-        # dedup_minhash / near_dup_embeddings_lsh / ann_lsh_topk /
-        # ann_ivf_topk: LSH banding, random-hyperplane bucketing and the
-        # k-means coarse quantizer are not ANSI-SQL-expressible; the driver
-        # records the weaker rows-only check for them, and exact numpy
-        # re-derivations in tests/test_pipeline_oracles.py assert the
-        # signatures/buckets/centroids/top-k value-for-value (their
-        # exact-result twins — dedup_exact, near_dup_embeddings,
-        # ann_cosine_topk — ARE oracle-checked here).
+        "near_dup_embeddings_lsh": _near_dup_lsh_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        # dedup_minhash / ann_ivf_topk: the MinHash rolling-hash signature
+        # kernel and the iterative k-means coarse quantizer are not
+        # ANSI-SQL-expressible; the driver records the weaker rows-only
+        # check for these two, and exact numpy re-derivations in
+        # tests/test_pipeline_oracles.py assert signatures/centroids/top-k
+        # value-for-value.  (The other LSH ops — near_dup_embeddings_lsh,
+        # ann_lsh_topk, dedup_simhash_pairs — use exact-integer ternary
+        # planes / md5 bits and ARE hash-checked above, as are the exact
+        # twins dedup_exact, near_dup_embeddings, ann_cosine_topk.)
     }
 
 
@@ -1291,6 +1294,20 @@ def _simhash_pairs_oracle() -> str:
     )
 
     return simhash_pairs_oracle_sql("documents", max_hamming=20)
+
+
+def _near_dup_lsh_oracle() -> str:
+    from parquet_python_spark.operators.pipeline_ops import near_dup_lsh_oracle_sql
+
+    return near_dup_lsh_oracle_sql(
+        "embeddings", min_cosine=0.35, n_planes=4, dim=64
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    from parquet_python_spark.operators.pipeline_ops import ann_lsh_oracle_sql
+
+    return ann_lsh_oracle_sql("embeddings", k=10, n_planes=8, dim=64)
 
 
 def _nation_fixture_oracle() -> str:

@@ -691,30 +691,68 @@ def embedding_near_dup(emb: DataFrame, min_cosine: float = 0.8) -> DataFrame:
     )
 
 
+def _rademacher_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplanes.  Sign-random-projection
+    LSH with ternary planes keeps the bucket computation in EXACT integer
+    arithmetic over the quantized vectors — same bucket on every engine,
+    which is what makes the LSH ops below SQL-oracle-checkable (a Gaussian
+    plane would put an FP dot-product sign on the bucket boundary)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2, (n_planes, dim), dtype=np.int64) * 2 - 1
+
+
+def _bucket_expr(qcol, planes: np.ndarray):
+    """JVM-side LSH bucket over a quantized int vector column: bit j is
+    sign(dot(q, plane_j)) — built-ins only, no Python in the pass."""
+    b = F.lit(0)
+    for j, row in enumerate(planes):
+        lit = F.array(*[F.lit(int(v)) for v in row])
+        dot = F.aggregate(
+            F.zip_with(qcol, lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        b = b + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def _bucket_sql(qexpr: str, planes: np.ndarray) -> str:
+    """DuckDB twin of _bucket_expr (identical integer arithmetic)."""
+    terms = []
+    for j, row in enumerate(planes):
+        arr = "[" + ", ".join(str(int(v)) for v in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({qexpr}, {arr}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_QUANT_SQL = "[CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT) FOR x IN embedding]"
+
+
 def embedding_near_dup_lsh(
     emb: DataFrame, min_cosine: float = 0.8, n_planes: int = 8
 ) -> DataFrame:
-    """Scale path for near-dup: random-hyperplane LSH buckets the vectors
-    (one shuffle on the bucket key), all-pairs only within buckets.  Recall
-    is probabilistic (standard SimHash-LSH trade-off), so this is rows-only
-    checked; embedding_near_dup is the exact oracle-checked baseline."""
+    """Scale path for near-dup: sign-random-projection LSH buckets the
+    vectors (one shuffle on the bucket key), all-pairs only within
+    buckets.  Ternary (±1) planes over the quantized ints keep the bucket
+    exact-integer — fully JVM-side AND reproducible in SQL, so this scale
+    path is oracle-checked pair-for-pair (recall vs the exact baseline
+    remains probabilistic, as LSH inherently is)."""
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"]) if first else 0
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((n_planes, dim))
-
-    @pandas_udf(T.IntegerType())
-    def bucket(embs: pd.Series) -> pd.Series:
-        mat = np.stack(embs.to_numpy())
-        signs = (mat @ planes.T) > 0
-        return pd.Series((signs.astype(np.int32) << np.arange(n_planes)).sum(axis=1))
+    planes = _rademacher_planes(n_planes, dim, seed=7)
 
     # bucket + quantized vector + self-dot in ONE projection — no join to
     # re-attach buckets (one narrow pass over the scan, then the bucket
     # self-join is the only shuffle); quantization shared with the exact
     # baseline via _quantized_with_norm
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
     qa = _quantized_with_norm(
-        emb, bucket(F.col("embedding")).alias("bucket")
+        emb, _bucket_expr(q, planes).alias("bucket")
     ).alias("a")
     qb = qa.alias("b")
     dot = F.aggregate(
@@ -735,6 +773,50 @@ def embedding_near_dup_lsh(
             F.floor(cos * 10000).cast("long").alias("cosine_x10k"),
         )
         .filter(F.col("cosine_x10k") >= int(min_cosine * 10000))
+    )
+
+
+def near_dup_lsh_oracle_sql(
+    table: str = "embeddings",
+    min_cosine: float = 0.8,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL computing embedding_near_dup_lsh's exact result (shared
+    planes, shared quantization, shared integer bucket)."""
+    planes = _rademacher_planes(n_planes, dim, seed=7)
+    thresh = int(min_cosine * 10000)
+    return (
+        f"WITH q AS (SELECT vec_id, {_QUANT_SQL} AS q FROM {table}), "
+        f"n AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS nq, "
+        f"{_bucket_sql('q', planes)} AS bucket FROM q) "
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"floor(10000 * list_dot_product(a.q, b.q) "
+        f"/ sqrt(CAST(a.nq * b.nq AS DOUBLE)))::BIGINT AS cosine_x10k "
+        f"FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        f"WHERE floor(10000 * list_dot_product(a.q, b.q) "
+        f"/ sqrt(CAST(a.nq * b.nq AS DOUBLE))) >= {thresh}"
+    )
+
+
+def ann_lsh_oracle_sql(
+    table: str = "embeddings", k: int = 10, n_planes: int = 8, dim: int = 64
+) -> str:
+    """DuckDB SQL computing ann_lsh_bucketed_topk's exact result for the
+    deterministic ORDER-BY-vec_id-LIMIT-1 query vector: same quantized
+    integer buckets, same Hamming<=1 probe set, same cosine top-k order
+    as the ann_cosine_topk oracle."""
+    planes = _rademacher_planes(n_planes, dim, seed=42)
+    return (
+        f"WITH qv AS (SELECT embedding AS v, {_QUANT_SQL} AS q "
+        f"FROM {table} ORDER BY vec_id LIMIT 1), "
+        f"b AS (SELECT vec_id, embedding, "
+        f"{_bucket_sql(_QUANT_SQL, planes)} AS bucket FROM {table}), "
+        f"qb AS (SELECT {_bucket_sql('q', planes)} AS bucket FROM qv) "
+        f"SELECT b.vec_id FROM b, qb, qv "
+        f"WHERE bit_count(xor(b.bucket::BIGINT, qb.bucket::BIGINT)) <= 1 "
+        f"ORDER BY list_cosine_similarity(b.embedding, qv.v) DESC, b.vec_id "
+        f"LIMIT {k}"
     )
 
 
@@ -816,24 +898,28 @@ def ann_ivf_topk(
 def ann_lsh_bucketed_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10, n_planes: int = 8
 ) -> DataFrame:
-    """Scale path: random-hyperplane LSH bucketing, then brute force only
-    inside the query's bucket (and its 1-bit-flip neighbors)."""
+    """Scale path: sign-random-projection LSH bucketing (exact-integer
+    ternary planes over the quantized vectors — fully JVM-side), then
+    brute force only inside the query's bucket and its 1-bit-flip
+    neighbors (Hamming <= 1 on the bucket id)."""
     dim = len(query_vec)
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = _rademacher_planes(n_planes, dim, seed=42)
 
-    @pandas_udf(T.IntegerType())
-    def bucket(embs: pd.Series) -> pd.Series:
-        mat = np.stack(embs.to_numpy())
-        signs = (mat @ planes.T) > 0
-        return pd.Series(
-            (signs.astype(np.int32) << np.arange(n_planes)).sum(axis=1)
-        )
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = int((((planes @ q) > 0).astype(np.int32) << np.arange(n_planes)).sum())
-    neighbor_buckets = [q_bucket] + [q_bucket ^ (1 << i) for i in range(n_planes)]
-    candidates = emb.withColumn("bucket", bucket(F.col("embedding"))).filter(
-        F.col("bucket").isin(neighbor_buckets)
+    # quantize the query EXACTLY like the rows (floor(x*1000) ints) so its
+    # bucket is computed in the same integer arithmetic
+    qint = np.floor(np.asarray(query_vec, dtype=np.float64) * 1000).astype(
+        np.int64
     )
-    return ann_brute_force_topk(candidates, query_vec, k)
+    q_bucket = int(
+        (((planes @ qint) >= 0).astype(np.int64) << np.arange(n_planes)).sum()
+    )
+    qcol = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    candidates = emb.withColumn("bucket", _bucket_expr(qcol, planes)).filter(
+        F.bit_count(
+            F.col("bucket").cast("long").bitwiseXOR(F.lit(q_bucket).cast("long"))
+        )
+        <= 1
+    )
+    return ann_brute_force_topk(candidates.drop("bucket"), query_vec, k)

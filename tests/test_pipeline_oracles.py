@@ -120,11 +120,15 @@ def test_near_dup_lsh_rederived(spark, emb):
     n_planes, min_cos = 4, 0.35
     vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
     dim = len(next(iter(vecs.values())))
-    planes = np.random.default_rng(7).standard_normal((n_planes, dim))
+    # ternary (±1) planes over the QUANTIZED ints — exact integer bucket
+    planes = np.random.default_rng(7).integers(
+        0, 2, (n_planes, dim), dtype=np.int64
+    ) * 2 - 1
     by_bucket: dict = {}
     for vid, v in vecs.items():
-        signs = (np.asarray(v, dtype=np.float64) @ planes.T) > 0
-        bucket = int((signs.astype(np.int32) << np.arange(n_planes)).sum())
+        qv = np.asarray(_quantize(v), dtype=np.int64)
+        signs = (planes @ qv) >= 0
+        bucket = int((signs.astype(np.int64) << np.arange(n_planes)).sum())
         by_bucket.setdefault(bucket, []).append(vid)
     expected = set()
     for members in by_bucket.values():
@@ -216,14 +220,16 @@ def test_ann_lsh_topk_rederived(spark, emb):
     vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
     qvec = [float(x) for x in vecs[min(vecs)]]
     dim = len(qvec)
-    planes = np.random.default_rng(42).standard_normal((n_planes, dim))
+    planes = np.random.default_rng(42).integers(
+        0, 2, (n_planes, dim), dtype=np.int64
+    ) * 2 - 1
 
     def bucket_of(v) -> int:
-        signs = (np.asarray(v, dtype=np.float64) @ planes.T) > 0
-        return int((signs.astype(np.int32) << np.arange(n_planes)).sum())
+        qv = np.floor(np.asarray(v, dtype=np.float64) * 1000).astype(np.int64)
+        signs = (planes @ qv) >= 0
+        return int((signs.astype(np.int64) << np.arange(n_planes)).sum())
 
-    q = np.asarray(qvec, dtype=np.float64)
-    q_bucket = int((((planes @ q) > 0).astype(np.int32) << np.arange(n_planes)).sum())
+    q_bucket = bucket_of(qvec)
     wanted = {q_bucket} | {q_bucket ^ (1 << i) for i in range(n_planes)}
     qnorm = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
     scored = []
