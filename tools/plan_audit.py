@@ -172,6 +172,17 @@ def main() -> None:
     ok = "LeftSemi" in p and "LeftAnti" in p and "CartesianProduct" not in p
     checks.append(("join_semi_anti: LeftSemi + LeftAnti join nodes", ok, p))
 
+    # 20. embedding LSH ops: exact-integer ternary planes — zero Python
+    # eval nodes, no cartesian (bucket equi-join / Hamming filter only)
+    p = _plan(qs["near_dup_embeddings_lsh"](spark, sf_dir))
+    ok = "EvalPython" not in p and "CartesianProduct" not in p
+    checks.append(
+        ("near_dup_embeddings_lsh: JVM-only buckets, no cartesian", ok, p)
+    )
+    p = _plan(qs["ann_lsh_topk"](spark, sf_dir))
+    ok = "EvalPython" not in p and "CartesianProduct" not in p
+    checks.append(("ann_lsh_topk: JVM-only bucket probe", ok, p))
+
     n_bad = 0
     for name, ok, plan in checks:
         mark = "PASS" if ok else "FAIL"
