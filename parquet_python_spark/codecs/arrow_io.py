@@ -18,6 +18,7 @@ from .fsst import fsst_gain_sample
 from .registry import dec_str_lens_blob, enc_str_lens_blob
 
 __all__ = [
+    "combined_chunks",
     "string_array_lens_blob",
     "string_array_from_lens_blob",
     "encode_str_column",
@@ -26,7 +27,8 @@ __all__ = [
 ]
 
 
-def _combined(arr):
+def combined_chunks(arr):
+    """Collapse a ChunkedArray to one Array (no-op for plain Arrays)."""
     if isinstance(arr, pa.ChunkedArray):
         return arr.combine_chunks()
     return arr
@@ -35,7 +37,7 @@ def _combined(arr):
 def string_array_lens_blob(arr) -> tuple[np.ndarray, bytes]:
     """(lengths, concatenated utf-8 bytes) from a pa string array, via its
     offsets/data buffers (no per-value objects)."""
-    arr = _combined(arr)
+    arr = combined_chunks(arr)
     if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         off_dt = np.int64
     else:
@@ -68,7 +70,7 @@ def _select_str_codec_arrow(arr) -> str:
     card = pc.count_distinct(probe).as_py()
     if card <= max(16, len(probe) // 8):
         return "dict"
-    lens, blob = string_array_lens_blob(_combined(arr).slice(0, min(n, 1024)))
+    lens, blob = string_array_lens_blob(combined_chunks(arr).slice(0, min(n, 1024)))
     if len(blob) > 256:
         stream = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
         if fsst_gain_sample(stream) > 0.5:
@@ -78,7 +80,7 @@ def _select_str_codec_arrow(arr) -> str:
 
 def encode_str_column(arr, codec: str | None = None):
     """pa string array -> (codec, params, payload)."""
-    arr = _combined(arr)
+    arr = combined_chunks(arr)
     codec = codec or _select_str_codec_arrow(arr)
     if codec == "dict":
         d = pc.dictionary_encode(arr)
@@ -106,7 +108,7 @@ def decode_str_column(codec: str, payload: bytes, n: int, params: dict) -> pa.Ar
 def list_column_flat(arr) -> tuple[np.ndarray, np.ndarray]:
     """(flat values, per-row lengths) from a pa list array — the values
     buffer IS the concatenation (zero-copy; no per-row work)."""
-    arr = _combined(arr)
+    arr = combined_chunks(arr)
     # flatten() honors slices/offsets and is zero-copy for non-null lists
     flat = arr.flatten().to_numpy(zero_copy_only=False)
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)

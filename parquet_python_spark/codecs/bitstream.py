@@ -64,8 +64,11 @@ def pack_bits_lsb(values: np.ndarray, width: int) -> bytes:
 
     The produced byte stream is decodable by the reference's bit-packed-run
     reader (encoding.py:139-180): value bits are laid out least-significant
-    bit first and may cross byte boundaries.  ``len(values)`` must be a
-    multiple of 8 (one parquet "group" = 8 values); pad with zeros upstream.
+    bit first and may cross byte boundaries.  Counts that are not a
+    multiple of 8 (one parquet "group" = 8 values) are zero-padded to the
+    group boundary here — the reference's own zero-fill grammar
+    (__init__.py:366-368); decode with the ORIGINAL count and the padding
+    truncates away.
     """
     n = len(values)
     if n == 0 or width == 0:

@@ -386,6 +386,10 @@ def _encode_column_inner(values, kind: str, codec: str | None):
         # boolean reader consumes
         from .plain import encode_plain_boolean
 
+        if codec not in (None, "plain_bool"):
+            # don't silently ignore a forced codec (every other kind
+            # honors or errors on it)
+            raise KeyError(f"unknown bool codec {codec}")
         vals = np.asarray(values, dtype=bool)
         return "plain_bool", {}, encode_plain_boolean(vals), {"n": len(vals)}
     if kind == "float32":

@@ -745,7 +745,7 @@ def decode_blocks_files_pruned(
     range-clustered layout that is the difference between scanning the
     table and scanning the matching slice.
     """
-    _repair_compaction(blocks_path)
+    _repair_compaction(blocks_path, conservative=True)
     files = list_input_files(blocks_path)
     paths_df = spark.createDataFrame(
         [(i, f) for i, f in enumerate(files)], "file_idx int, path string"
@@ -809,7 +809,7 @@ def current_blocks(
     since-removed files); consumers that must mirror the input exactly —
     e.g. the encode job's --verify round-trip — filter through this.
     """
-    _repair_compaction(blocks_path)
+    _repair_compaction(blocks_path, conservative=True)
     blocks = spark.read.parquet(blocks_path)
     if mode in ("files", "narrow-ipc"):
         keys = [file_key(f) for f in resolve_input_files(input_path)]
@@ -836,7 +836,7 @@ def decode_blocks_files(spark: SparkSession, blocks_path: str) -> DataFrame:
     run (the sidecar protocol makes the repair exact — see
     _repair_compaction).
     """
-    _repair_compaction(blocks_path)
+    _repair_compaction(blocks_path, conservative=True)
     files = list_input_files(blocks_path)
     paths_df = spark.createDataFrame(
         [(i, f) for i, f in enumerate(files)], "file_idx int, path string"
@@ -951,19 +951,31 @@ def compact_blocks(
     }
 
 
-def _repair_compaction(blocks_path: str) -> None:
+def _repair_compaction(blocks_path: str, conservative: bool = False) -> None:
     """Finish or roll back interrupted compaction bins (see compact_blocks).
 
     Sidecar present + compacted file present -> the rename happened: the
     compacted file is authoritative, delete any surviving sources.
     Sidecar present + no compacted file -> the bin never went visible:
-    sources are authoritative, drop the sidecar (and any orphan tmp)."""
+    sources are authoritative, drop the sidecar (and any orphan tmp).
+
+    ``conservative=True`` (the READ-path mode): only the forward half runs
+    — finishing deletes for bins whose rename already happened (safe to
+    race: once `final` exists its content is authoritative and the
+    compactor would delete the same sources).  The rollback half (removing
+    .inprogress tmps and dangling sidecars) is skipped, because against a
+    LIVE compactor those are in-flight state, and deleting them would
+    re-open the exact duplicate-rows window this protocol closes (tmp
+    deleted under the compactor -> rename fails; sidecar deleted ->
+    a later rename+crash leaves duplicates with no record to repair
+    from).  compact_blocks itself runs the full repair under its
+    single-maintenance-writer assumption."""
     try:
         names = os.listdir(blocks_path)
     except OSError:
         return
     for name in names:
-        if name.endswith(".inprogress"):
+        if name.endswith(".inprogress") and not conservative:
             try:
                 os.remove(os.path.join(blocks_path, name))
             except OSError:
@@ -981,6 +993,8 @@ def _repair_compaction(blocks_path: str) -> None:
                             os.remove(p)
             except (OSError, json.JSONDecodeError):
                 continue
+        elif conservative:
+            continue  # in-flight bin: not ours to roll back
         try:
             os.remove(sidecar)
         except OSError:

@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 from ..codecs import decode_column, encode_column, params_from_json, params_to_json
 from ..codecs.arrow_io import (
-    _combined,
+    combined_chunks,
     decode_str_column,
     encode_str_column,
     list_column_flat,
@@ -195,9 +195,21 @@ def plan_n_parts(
 
     Pass ``known_rows`` when a caller already has the count from another
     aggregate — df.count() is metadata-only for raw parquet scans but
-    executes the full upstream plan for derived inputs."""
+    executes the full upstream plan for derived inputs (hash-partitioned
+    encode_df over a derived DataFrame therefore pays one counting pass;
+    pass n_parts explicitly to skip it — range mode folds the count into
+    its bounds aggregate).  Catalyst's own row-count statistic is used
+    when the optimizer can prove it (e.g. with CBO stats), avoiding the
+    pass entirely."""
     if n_parts is not None:
         return n_parts
+    if known_rows is None:
+        try:  # free when Catalyst already knows the cardinality
+            rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+            if rc.isDefined():
+                known_rows = int(str(rc.get()))
+        except Exception:  # noqa: BLE001 - stats API absent/changed
+            pass
     rows = known_rows if known_rows is not None else df.count()
     spark = df.sparkSession
     floor = spark.sparkContext.defaultParallelism
@@ -305,7 +317,7 @@ def encode_df(
 
         for col, kind in col_kinds.items():
             forced = forced_codecs.get(col)
-            arr = _combined(tbl.column(col))
+            arr = combined_chunks(tbl.column(col))
             if kind in _LIST_KINDS:
                 if arr.null_count:
                     raise ValueError(f"null lists unsupported in {col}")

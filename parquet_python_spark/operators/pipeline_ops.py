@@ -183,11 +183,16 @@ def dedup_simhash_pairs(
     """SimHash near-dup candidate pairs via band bucketing.
 
     Split each fingerprint into ``bands`` equal bit-slices; docs sharing
-    any slice become candidates (a pair within Hamming distance
-    bands-1 matches at least one band by pigeonhole), then the exact
-    Hamming distance filters to <= max_hamming.  One shuffle on
-    (band_idx, band_val) — no all-pairs anywhere; bit_count is a JVM
-    built-in, so the whole op is SQL-oracle-expressible."""
+    any slice become candidates, then the exact Hamming distance filters
+    to <= max_hamming.  RECALL CONTRACT: pairs within Hamming distance
+    bands-1 are found with certainty (pigeonhole: fewer flips than bands
+    leaves some band identical); pairs between bands and max_hamming are
+    found only if their flips happen to spare one band — standard LSH
+    candidate semantics, NOT an exhaustive <=max_hamming join (that would
+    be all-pairs).  Raise ``bands`` for more recall at more shuffle
+    volume.  One shuffle on (band_idx, band_val); bit_count is a JVM
+    built-in, so the op is SQL-oracle-expressible (the oracle replicates
+    the same candidate semantics)."""
     width = bits // bands
     fps = dedup_simhash(docs, bits)
     banded = fps.select(
@@ -647,6 +652,21 @@ def ann_brute_force_topk(
     )
 
 
+def _quantize_expr():
+    """THE quantization formula (floor(x*1000) exact ints) as a Column —
+    single owner shared by the exact near-dup baseline, both LSH ops, the
+    Python query-vector twin below, and _QUANT_SQL in the oracles; all
+    five must stay bit-identical for the oracle checks to hold."""
+    return F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+
+
+def _quantize_np(vec) -> np.ndarray:
+    """Python twin of _quantize_expr for driver-side query vectors."""
+    return np.floor(np.asarray(vec, dtype=np.float64) * 1000).astype(np.int64)
+
+
 def _quantized_with_norm(emb: DataFrame, *extra_cols):
     """Embedding quantized to exact integers (floor(x*1000)) + its integer
     self-dot.  Exact-integer cosine makes the result bit-stable across
@@ -656,9 +676,7 @@ def _quantized_with_norm(emb: DataFrame, *extra_cols):
     ``extra_cols``: additional Column expressions projected in the SAME
     single pass (e.g. an LSH bucket) — this helper is the one owner of the
     quantization formula the exact/LSH near-dup pair must share."""
-    q = F.transform(
-        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
-    )
+    q = _quantize_expr()
     selfdot = F.aggregate(
         F.transform(q, lambda v: v * v), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
@@ -748,9 +766,7 @@ def embedding_near_dup_lsh(
     # re-attach buckets (one narrow pass over the scan, then the bucket
     # self-join is the only shuffle); quantization shared with the exact
     # baseline via _quantized_with_norm
-    q = F.transform(
-        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
-    )
+    q = _quantize_expr()
     qa = _quantized_with_norm(
         emb, _bucket_expr(q, planes).alias("bucket")
     ).alias("a")
@@ -907,15 +923,11 @@ def ann_lsh_bucketed_topk(
 
     # quantize the query EXACTLY like the rows (floor(x*1000) ints) so its
     # bucket is computed in the same integer arithmetic
-    qint = np.floor(np.asarray(query_vec, dtype=np.float64) * 1000).astype(
-        np.int64
-    )
+    qint = _quantize_np(query_vec)
     q_bucket = int(
         (((planes @ qint) >= 0).astype(np.int64) << np.arange(n_planes)).sum()
     )
-    qcol = F.transform(
-        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
-    )
+    qcol = _quantize_expr()
     candidates = emb.withColumn("bucket", _bucket_expr(qcol, planes)).filter(
         F.bit_count(
             F.col("bucket").cast("long").bitwiseXOR(F.lit(q_bucket).cast("long"))

@@ -18,6 +18,18 @@ from pyspark.sql import SparkSession
 from ..engine import encode_table_narrow
 from ..tokengen import SCHEMA
 
+from pyspark.sql import types as T  # noqa: E402
+
+# event-stream input schema shared by every streaming operator below
+STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("ingest_ts", T.TimestampType(), False),
+    ]
+)
+
 
 def start_stream_encode(
     spark: SparkSession,
@@ -77,15 +89,7 @@ def windowed_token_rates(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("n_tok", T.IntegerType(), False),
-            T.StructField("source", T.StringType(), False),
-            T.StructField("ingest_ts", T.TimestampType(), False),
-        ]
-    )
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    stream = spark.readStream.schema(STREAM_SCHEMA).parquet(input_path)
     return (
         stream.withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window).alias("w"), "source")
@@ -119,15 +123,7 @@ def streaming_dedup(
     """
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("n_tok", T.IntegerType(), False),
-            T.StructField("source", T.StringType(), False),
-            T.StructField("ingest_ts", T.TimestampType(), False),
-        ]
-    )
-    stream = spark.readStream.schema(schema).parquet(input_path)
+    stream = spark.readStream.schema(STREAM_SCHEMA).parquet(input_path)
     return stream.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
         ["doc_id"]
     )
@@ -149,14 +145,6 @@ def stateful_source_totals(
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("n_tok", T.IntegerType(), False),
-            T.StructField("source", T.StringType(), False),
-            T.StructField("ingest_ts", T.TimestampType(), False),
-        ]
-    )
     out_schema = T.StructType(
         [
             T.StructField("source", T.StringType(), False),
@@ -185,7 +173,7 @@ def stateful_source_totals(
             }
         )
 
-    reader = spark.readStream.schema(schema)
+    reader = spark.readStream.schema(STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_path)

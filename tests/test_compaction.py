@@ -162,3 +162,45 @@ def test_resume_after_compaction_skips_everything(spark, tmp_path):
     m2 = encode_job(spark, inp, out, mode="files")
     assert m2["resumed_skipped"] == m1["partitions"]
     assert _rows(decode_blocks_files(spark, bdir)) == _rows(df)
+
+
+def test_read_path_repair_is_conservative(spark, blocks_dir):
+    """Readers finish completed bins (dedup) but never touch in-flight
+    state: a live compactor's .inprogress tmp and dangling sidecar must
+    survive a concurrent read, while a completed bin's leftover sources
+    are removed before rows are served twice."""
+    import shutil
+
+    inp, bdir = blocks_dir
+    want = _rows(decode_blocks_files(spark, bdir))
+    compact_blocks(spark, bdir, target_bytes=1 << 30)
+    cmp_files = [
+        f for f in list_input_files(bdir)
+        if os.path.basename(f).startswith("cmp-")
+    ]
+    assert cmp_files
+
+    # simulate a LIVE compactor mid-bin: tmp + sidecar, no final yet
+    ghost = os.path.join(bdir, "cmp-feedface.parquet")
+    with open(ghost + ".srcs.json", "w") as f:
+        json.dump([os.path.basename(list_input_files(bdir)[0])], f)
+    with open(ghost + ".inprogress", "w") as f:
+        f.write("live")
+
+    # and a completed bin whose source deletes were interrupted
+    leftover = os.path.join(bdir, "blk-leftover2.parquet")
+    shutil.copy(cmp_files[0], leftover)
+    with open(cmp_files[0] + ".srcs.json", "w") as f:
+        json.dump([os.path.basename(leftover)], f)
+
+    got = _rows(decode_blocks_files(spark, bdir))
+    # completed bin healed on the read path: no double rows
+    assert got == want
+    assert not os.path.exists(leftover)
+    # in-flight bin untouched by the read path
+    assert os.path.exists(ghost + ".inprogress")
+    assert os.path.exists(ghost + ".srcs.json")
+    # the maintenance path (full repair) then rolls it back
+    compact_blocks(spark, bdir, target_bytes=1 << 30)
+    assert not os.path.exists(ghost + ".inprogress")
+    assert not os.path.exists(ghost + ".srcs.json")
