@@ -81,3 +81,16 @@ def test_f64_roundtrip_bit_exact(vals):
     c, params, payload, _ = encode_column(arr, "float64")
     out = np.asarray(decode_column(c, payload, len(arr), params, "float64"))
     assert out.dtype == np.float64 and np.array_equal(out, arr)
+
+
+@given(st.lists(st.booleans(), min_size=0, max_size=400))
+def test_bool_roundtrip(vals):
+    import numpy as np
+
+    from parquet_python_spark.codecs import decode_column, encode_column
+
+    arr = np.asarray(vals, dtype=bool)
+    codec, params, payload, _ = encode_column(arr, "bool")
+    out = decode_column(codec, payload, len(arr), params, "bool")
+    assert np.array_equal(np.asarray(out), arr)
+    assert len(payload) == (len(arr) + 7) // 8
