@@ -1253,15 +1253,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_oracle(),
         "near_dup_embeddings_lsh": _near_dup_lsh_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
-        # dedup_minhash / ann_ivf_topk: the MinHash rolling-hash signature
-        # kernel and the iterative k-means coarse quantizer are not
-        # ANSI-SQL-expressible; the driver records the weaker rows-only
-        # check for these two, and exact numpy re-derivations in
-        # tests/test_pipeline_oracles.py assert signatures/centroids/top-k
-        # value-for-value.  (The other LSH ops — near_dup_embeddings_lsh,
-        # ann_lsh_topk, dedup_simhash_pairs — use exact-integer ternary
-        # planes / md5 bits and ARE hash-checked above, as are the exact
-        # twins dedup_exact, near_dup_embeddings, ann_cosine_topk.)
+        # round 3: the last two formerly rows-only ops are now fully
+        # SQL-oracle-checkable — MinHash moved to non-overflowing modular
+        # arithmetic (every intermediate < 2^62, plain BIGINT), and IVF
+        # assignment moved to the exact floor(x*1000) integer grid with
+        # the seeded centroids re-derived and inlined as literals.
+        "dedup_minhash": _minhash_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
     }
 
 
@@ -1308,6 +1306,24 @@ def _ann_lsh_oracle() -> str:
     from parquet_python_spark.operators.pipeline_ops import ann_lsh_oracle_sql
 
     return ann_lsh_oracle_sql("embeddings", k=10, n_planes=8, dim=64)
+
+
+def _minhash_oracle() -> str:
+    from parquet_python_spark.operators.pipeline_ops import minhash_oracle_sql
+
+    return minhash_oracle_sql("documents")
+
+
+def _ann_ivf_oracle() -> str:
+    # the driver's correctness check runs at sf0.01 (SF_DIR override for
+    # tools/check_oracle.py); the seeded centroids are re-derived from the
+    # same pinned sample of that table and inlined as SQL literals
+    import os
+
+    from parquet_python_spark.operators.pipeline_ops import ann_ivf_oracle_sql
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    return ann_ivf_oracle_sql(f"{sf_dir}/embeddings.parquet")
 
 
 def _nation_fixture_oracle() -> str:

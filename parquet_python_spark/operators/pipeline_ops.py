@@ -34,6 +34,29 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------- minhash LSH dedup
 
+# MinHash arithmetic constants, shared verbatim by the numpy kernel, the
+# python-int re-derivation test, and the DuckDB oracle generator.  Every
+# intermediate stays below 2^62: window hashes are taken mod a prime
+# < 2^30 and the affine family works in Z_p with p = 2^31-1 (a, b < p), so
+# a*x < 2^61 — plain BIGINT arithmetic on any engine, no wraparound
+# anywhere (the round-2 formulation relied on uint64 wrap, which SQL can't
+# replicate).  p MUST be small enough that a*x routinely exceeds it: the
+# mod is what decorrelates the 32 hash functions — with a modulus above
+# the product range the affine map is monotone in x and every signature
+# component collapses to a function of the single minimum window hash
+# (all bands perfectly correlated: LSH quality destroyed).
+MINHASH_WMOD = 1073741789  # prime < 2^30 — window-hash modulus
+MINHASH_BASE = 257  # polynomial base for the k-byte rolling window hash
+MINHASH_P = (1 << 31) - 1  # affine-family modulus (Mersenne prime 2^31-1)
+
+
+def _minhash_family(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)
+    A = rng.integers(1, MINHASH_P, n_hashes).astype(np.uint64)
+    B = rng.integers(0, MINHASH_P, n_hashes).astype(np.uint64)
+    return A, B
+
+
 def _minhash_sig_matrix(
     texts, A: np.ndarray, B: np.ndarray, k: int
 ) -> np.ndarray:
@@ -43,8 +66,10 @@ def _minhash_sig_matrix(
     diff-trick mask to drop windows crossing document boundaries, and
     np.minimum.reduceat for the per-doc minima.  The only per-row Python is
     the str->bytes encode.  Docs shorter than k shingle as {0} (signature
-    B_i mod M), matching the previous per-doc formulation bit-for-bit."""
-    MOD = np.uint64((1 << 61) - 1)
+    b_i), and every step is non-overflowing int arithmetic (see constants
+    above) so the DuckDB oracle reproduces each signature bit-for-bit."""
+    MOD = np.uint64(MINHASH_P)
+    WMOD = np.uint64(MINHASH_WMOD)
     enc = [(t or "").encode("utf-8", "ignore") for t in texts]
     n_docs = len(enc)
     n_hashes = len(A)
@@ -57,15 +82,19 @@ def _minhash_sig_matrix(
     n_win = np.maximum(lens - k + 1, 0) * (lens >= k)
     has = n_win > 0
     if total_w == 0 or not has.any():
-        sig[:] = (B % MOD).astype(np.int64)[None, :]
+        sig[:] = B.astype(np.int64)[None, :]  # shingle {0} -> (a*0+b)%P = b
         return sig
     starts = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    # rolling polynomial hash of every window in the concatenated buffer
-    coeffs = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+    # rolling polynomial hash of every window: coeffs < 2^30, bytes < 2^8,
+    # so the k-term sum < k * 2^38 — far from the uint64 edge
+    coeffs = np.array(
+        [pow(MINHASH_BASE, j, MINHASH_WMOD) for j in range(k)], dtype=np.uint64
+    )
     h = np.zeros(total_w, dtype=np.uint64)
     for j in range(k):
         h += blob[j : j + total_w].astype(np.uint64) * coeffs[j]
+    h %= WMOD
     # windows fully inside one doc (diff-trick membership mask)
     delta = np.zeros(total_w + 1, dtype=np.int64)
     np.add.at(delta, starts[has], 1)
@@ -75,19 +104,22 @@ def _minhash_sig_matrix(
     offs = np.zeros(int(has.sum()), dtype=np.int64)
     np.cumsum(n_win[has][:-1], out=offs[1:])
     for i in range(n_hashes):
-        vals = (A[i] * valid_h + B[i]) % MOD  # uint64 wrap semantics
+        vals = (A[i] * valid_h + B[i]) % MOD  # a*x+b < 2^61 + 2^31 in uint64
         sig[has, i] = np.minimum.reduceat(vals, offs).astype(np.int64)
         if not has.all():
-            sig[~has, i] = np.int64(B[i] % MOD)
+            sig[~has, i] = np.int64(B[i])
     return sig
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 5) -> DataFrame:
-    """MinHash signatures over k-char shingles (Arrow-batched pandas UDF)."""
-    # deterministic affine hash family h_i(x) = (a_i * x + b_i) mod 2^61-1
-    rng = np.random.default_rng(42)
-    A = rng.integers(1, 2**31, n_hashes).astype(np.uint64)
-    B = rng.integers(0, 2**31, n_hashes).astype(np.uint64)
+def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 9) -> DataFrame:
+    """MinHash signatures over k-byte shingles (Arrow-batched pandas UDF).
+
+    k=9 default: shingles must span word boundaries to discriminate in
+    templated corpora (the test corpus has only ~2k distinct 5-grams —
+    5-byte shingles make every doc look alike and candidate pairs
+    explode)."""
+    # deterministic affine hash family h_i(x) = (a_i * x + b_i) mod 2^31-1
+    A, B = _minhash_family(n_hashes)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(text: pd.Series) -> pd.Series:
@@ -98,17 +130,21 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 5) -> DataF
 
 
 def dedup_minhash_candidates(
-    docs: DataFrame, n_hashes: int = 32, bands: int = 8, k: int = 5
+    docs: DataFrame, n_hashes: int = 32, bands: int = 8, k: int = 9
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
-    near-dup pairs.  Scale path: one shuffle on (band_idx, band_hash) — no
-    all-pairs comparison anywhere.
+    near-dup pairs.  Scale path: one shuffle on (band_idx, band) — no
+    all-pairs comparison anywhere.  The join key is the band VALUE slice
+    (4 longs, ~32 bytes), not a 32-bit hash of it: exact on every engine
+    (no cross-band hash collisions), which is what lets the DuckDB oracle
+    check this operator pair-for-pair; at larger band widths a fixed-size
+    digest of the slice would be the drop-in key.
 
     The banded table is localCheckpoint-materialized before the self-join:
     without it Catalyst evaluates the whole subtree — including the MinHash
     pandas UDF over every document — once per join side (2x the dominant
-    cost).  The materialized table is narrow (doc_id + two ints per band),
-    tiny next to the corpus."""
+    cost).  The materialized table is narrow (doc_id + band slice per
+    band), tiny next to the corpus."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes, k)
     banded = sigs.select(
@@ -121,13 +157,13 @@ def dedup_minhash_candidates(
                 ),
             )
         ).alias("band_idx", "band"),
-    ).select("doc_id", "band_idx", F.hash("band").alias("band_hash"))
+    )
     banded = banded.localCheckpoint(eager=True)
     pairs = (
         banded.alias("a")
         .join(
             banded.alias("b"),
-            on=["band_idx", "band_hash"],
+            on=["band_idx", "band"],
             how="inner",
         )
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -137,6 +173,42 @@ def dedup_minhash_candidates(
         .distinct()
     )
     return pairs
+
+
+def minhash_oracle_sql(
+    table: str = "documents", n_hashes: int = 32, bands: int = 8, k: int = 9
+) -> str:
+    """DuckDB SQL computing dedup_minhash_candidates' exact pairs: same
+    non-overflowing window-hash + affine-min arithmetic (constants above),
+    same band-value join.  ascii() == utf-8 byte for the ASCII test corpus
+    (the same assumption the multimodal oracles already make)."""
+    A, B = _minhash_family(n_hashes)
+    rows_per_band = n_hashes // bands
+    # explicit BIGINT casts: DuckDB would otherwise multiply INT32*INT32
+    win = " + ".join(
+        f"CAST(ascii(substr(text, i+{j + 1}, 1)) AS BIGINT) "
+        f"* {pow(MINHASH_BASE, j, MINHASH_WMOD)}"
+        for j in range(k)
+    )
+    sigs = ", ".join(
+        f"list_min([(CAST({int(a)} AS BIGINT)*x + {int(b)}) % {MINHASH_P} "
+        f"FOR x IN xs]) AS s{i}"
+        for i, (a, b) in enumerate(zip(A, B))
+    )
+    sig_list = "[" + ", ".join(f"s{i}" for i in range(n_hashes)) + "]"
+    return (
+        f"WITH win AS (SELECT doc_id, "
+        f"CASE WHEN length(text) >= {k} THEN "
+        f"[({win}) % {MINHASH_WMOD} FOR i IN range(0, length(text) - {k - 1})] "
+        f"ELSE [0] END AS xs FROM {table}), "
+        f"sig AS (SELECT doc_id, {sigs} FROM win), "
+        f"banded AS (SELECT doc_id, b AS band_idx, "
+        f"({sig_list})[b*{rows_per_band}+1 : b*{rows_per_band}+{rows_per_band}] "
+        f"AS band FROM sig, range({bands}) AS r(b)) "
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM banded a JOIN banded b USING (band_idx, band) "
+        f"WHERE a.doc_id < b.doc_id"
+    )
 
 
 SIMHASH_BITS = 60  # 15 md5 hex nibbles — keeps the fingerprint a positive BIGINT
@@ -836,6 +908,24 @@ def ann_lsh_oracle_sql(
     )
 
 
+def kmeans_matrix(
+    X: np.ndarray, n_clusters: int = 16, iters: int = 8
+) -> np.ndarray:
+    """Deterministic numpy Lloyd k-means (seeded init, fixed iterations) —
+    shared by the Spark trainer and the oracle generator so both derive the
+    exact same centroids from the same sample matrix."""
+    rng = np.random.default_rng(13)
+    centroids = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = X[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
 def train_ivf_centroids(
     emb: DataFrame, n_clusters: int = 16, sample: int = 2048, iters: int = 8
 ) -> np.ndarray:
@@ -849,35 +939,43 @@ def train_ivf_centroids(
     what makes the operator testable against an independent re-derivation."""
     rows = emb.orderBy("vec_id").limit(sample).select("embedding").collect()
     X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
-    rng = np.random.default_rng(13)
-    centroids = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
-    for _ in range(iters):
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = X[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-    return centroids
+    return kmeans_matrix(X, n_clusters, iters)
 
 
-def _ivf_assign_udf(centroids: np.ndarray):
+def quantize_centroids(centroids: np.ndarray) -> np.ndarray:
+    """Centroids on the same floor(x*1000) integer grid as the vectors
+    (_quantize_expr).  Assignment then happens in EXACT int64 arithmetic —
+    the same cluster id on every engine, every BLAS, every summation order
+    — which is what makes the IVF operator SQL-oracle-checkable (float
+    distance argmins flip on near-ties between engines)."""
+    return np.floor(centroids * 1000).astype(np.int64)
+
+
+def _ivf_assign_udf(cq: np.ndarray):
+    """Arrow-batched assignment against integer-grid centroids ``cq``."""
+
     @pandas_udf(T.IntegerType())
     def assign(embs: pd.Series) -> pd.Series:
         mat = np.stack(embs.to_numpy()).astype(np.float64)
-        out = np.empty(len(mat), dtype=np.int32)
-        # direct (x - c)^2 form, chunked: bit-identical to the trainer's
-        # distance (the expanded |x|^2 - 2xc + |c|^2 form rounds differently
-        # and can flip assignments on near-ties), bounded temp memory
+        xq = np.floor(mat * 1000).astype(np.int64)
+        out = np.empty(len(xq), dtype=np.int32)
+        # exact integer (x - c)^2, chunked for bounded temp memory;
+        # argmin ties break to the lowest cluster id (numpy first-hit)
         step = 4096
-        for s in range(0, len(mat), step):
-            d2 = ((mat[s : s + step, None, :] - centroids[None, :, :]) ** 2).sum(
-                axis=2
-            )
+        for s in range(0, len(xq), step):
+            d2 = ((xq[s : s + step, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
             out[s : s + step] = d2.argmin(axis=1)
         return pd.Series(out)
 
     return assign
+
+
+def ivf_probes(cq: np.ndarray, query_vec: list[float], n_probe: int) -> list[int]:
+    """The n_probe clusters nearest the query on the integer grid (exact
+    int64 distances, stable order) — shared with the oracle generator."""
+    qint = _quantize_np(query_vec)
+    d2 = ((cq - qint[None, :]) ** 2).sum(axis=1)
+    return [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
 
 
 def ann_ivf_topk(
@@ -892,7 +990,9 @@ def ann_ivf_topk(
     only the `n_probe` clusters nearest the query (the inverted-file
     pattern of FAISS-style IVF indexes, public literature: Jegou et al.,
     "Product Quantization for Nearest Neighbor Search", 2011 — here with
-    exact residual scoring instead of PQ codes).
+    exact residual scoring instead of PQ codes).  Assignment runs on the
+    floor(x*1000) integer grid (see quantize_centroids) so the cluster ids
+    are engine-independent exact values.
 
     Scale shape: assignment is a narrow Arrow-batched pass over the scan
     (no shuffle); the probe filter prunes ~(1 - n_probe/n_clusters) of all
@@ -901,14 +1001,58 @@ def ann_ivf_topk(
     `cluster` column — pass centroids in to reuse a trained quantizer."""
     if centroids is None:
         centroids = train_ivf_centroids(emb, n_clusters)
-    q = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    probes = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
-    assign = _ivf_assign_udf(centroids)
+    cq = quantize_centroids(np.asarray(centroids, dtype=np.float64))
+    probes = ivf_probes(cq, query_vec, n_probe)
+    assign = _ivf_assign_udf(cq)
     candidates = emb.withColumn("cluster", assign(F.col("embedding"))).filter(
         F.col("cluster").isin(probes)
     )
     return ann_brute_force_topk(candidates, query_vec, k)
+
+
+def ann_ivf_oracle_sql(
+    parquet_path: str,
+    table: str = "embeddings",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample: int = 2048,
+) -> str:
+    """DuckDB SQL computing ann_ivf_topk's exact result for the
+    deterministic ORDER-BY-vec_id-LIMIT-1 query vector.
+
+    The seeded k-means centroids are re-derived here from the same pinned
+    sample (read via pyarrow from ``parquet_path`` — the exact float32
+    values Spark collects), quantized to the integer grid, and inlined as
+    literals; per-row assignment is then argmin over exact integer
+    distances d2_c = <xq,xq> - 2<xq,c> + <c,c> (every term an integer well
+    below 2^52, so DOUBLE list_dot_product is exact)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    tbl = tbl.sort_by("vec_id")
+    rows = tbl.column("embedding").slice(0, sample).to_pylist()
+    X = np.asarray(rows, dtype=np.float64)
+    cq = quantize_centroids(kmeans_matrix(X, n_clusters))
+    qvec = [float(x) for x in tbl.column("embedding")[0].as_py()]
+    probes = ivf_probes(cq, qvec, n_probe)
+    d2s = ", ".join(
+        f"nq - 2*list_dot_product(xq, {list(map(int, c))}) + {int(c @ c)}"
+        for c in cq
+    )
+    probe_list = ", ".join(str(p) for p in probes)
+    return (
+        f"WITH q AS (SELECT vec_id, embedding, {_QUANT_SQL} AS xq "
+        f"FROM {table}), "
+        f"n AS (SELECT vec_id, embedding, xq, "
+        f"CAST(list_dot_product(xq, xq) AS BIGINT) AS nq FROM q), "
+        f"a AS (SELECT vec_id, embedding, "
+        f"list_indexof([{d2s}], list_min([{d2s}])) - 1 AS cluster FROM n), "
+        f"qv AS (SELECT embedding AS v FROM {table} ORDER BY vec_id LIMIT 1) "
+        f"SELECT a.vec_id FROM a, qv WHERE a.cluster IN ({probe_list}) "
+        f"ORDER BY list_cosine_similarity(a.embedding, qv.v) DESC, a.vec_id "
+        f"LIMIT {k}"
+    )
 
 
 def ann_lsh_bucketed_topk(

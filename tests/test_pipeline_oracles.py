@@ -31,30 +31,27 @@ def emb(spark):
 
 # ------------------------------------------------------------- minhash sigs
 
-def _minhash_rederived(text: str, n_hashes: int = 32, k: int = 5) -> list[int]:
+def _minhash_rederived(text: str, n_hashes: int = 32, k: int = 9) -> list[int]:
     """Python-int re-derivation of minhash_signatures' exact arithmetic
-    (uint64 wrap semantics made explicit with masks)."""
+    (pure modular ints — the round-3 family never wraps, by design: every
+    intermediate < 2^62, which is what makes the DuckDB oracle possible)."""
+    MOD = (1 << 31) - 1
+    WMOD, BASE = 1073741789, 257
     rng = np.random.default_rng(42)
-    A = [int(a) for a in rng.integers(1, 2**31, n_hashes)]
-    B = [int(b) for b in rng.integers(0, 2**31, n_hashes)]
-    MOD = (1 << 61) - 1
+    A = [int(a) for a in rng.integers(1, MOD, n_hashes)]
+    B = [int(b) for b in rng.integers(0, MOD, n_hashes)]
     b = (text or "").encode("utf-8", "ignore")
     if len(b) < k:
         shingles = [0]
     else:
-        fnv = 1099511628211
-        coeffs = [pow(fnv, j, 1 << 64) for j in range(k)]
+        coeffs = [pow(BASE, j, WMOD) for j in range(k)]
         shingles = [
-            sum(b[i + j] * coeffs[j] for j in range(k)) & M64
+            sum(b[i + j] * coeffs[j] for j in range(k)) % WMOD
             for i in range(len(b) - k + 1)
         ]
-    sig = []
-    for a, bb in zip(A, B):
-        # wrap-then-mod per shingle, min after mod — mirror the UDF exactly
-        m = min(((((a * s) & M64) + bb) & M64) % MOD for s in shingles)
-        val = m if m < 1 << 63 else m - (1 << 64)  # int64 view
-        sig.append(val)
-    return sig
+    return [
+        min((a * s + bb) % MOD for s in shingles) for a, bb in zip(A, B)
+    ]
 
 
 def test_minhash_signatures_rederived(spark, docs):
@@ -151,8 +148,8 @@ def test_near_dup_lsh_rederived(spark, emb):
 
 def test_ann_ivf_topk_rederived(spark, emb):
     """IVF search re-derived independently: k-means recomputed from the
-    same pinned sample, per-vector assignment + probe filter + sequential
-    fold cosine, exact top-k id list."""
+    same pinned sample, integer-grid assignment (python-int arithmetic) +
+    probe filter + sequential fold cosine, exact top-k id list."""
     import numpy as np
 
     from parquet_python_spark.operators.pipeline_ops import (
@@ -178,16 +175,23 @@ def test_ann_ivf_topk_rederived(spark, emb):
             if len(m):
                 C[c] = m.mean(axis=0)
 
-    q = np.asarray(qvec)
-    probes = set(
-        int(c) for c in np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")[:n_probe]
-    )
+    # integer-grid quantization (python ints, independent of the operator)
+    CQ = [[math.floor(v * 1000) for v in c] for c in C]
+
+    def assign_int(v) -> int:
+        vq = [math.floor(x * 1000) for x in v]
+        d2s = [
+            sum((a - b) * (a - b) for a, b in zip(vq, c)) for c in CQ
+        ]
+        return d2s.index(min(d2s))
+
+    qq = [math.floor(x * 1000) for x in qvec]
+    qd2 = [sum((a - b) * (a - b) for a, b in zip(qq, c)) for c in CQ]
+    probes = set(sorted(range(len(CQ)), key=lambda i: (qd2[i], i))[:n_probe])
     qnorm = math.sqrt(sum(x * x for x in qvec))
     scored = []
     for vid, v in vecs.items():
-        x = np.asarray(v)
-        cl = int(((C - x) ** 2).sum(axis=1).argmin())
-        if cl not in probes:
+        if assign_int(v) not in probes:
             continue
         dot = 0.0
         for a, b in zip(v, qvec):
