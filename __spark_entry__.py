@@ -21,6 +21,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SESSION_TMPDIRS: list[str] = []
+
+
+def _session_tmpdir(prefix: str) -> str:
+    """Temp dir that lives until process exit (cleaned by atexit), so a
+    returned lazy DataFrame can keep reading its files when the driver
+    collects later.  This replaces round-2's
+    spark.createDataFrame(df.collect(), ...) wrappers — at a larger sf the
+    driver-side materialization, not the operator, became the bottleneck."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SESSION_TMPDIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SESSION_TMPDIRS]
+        )
+    _SESSION_TMPDIRS.append(d)
+    return d
+
+
 # --------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -67,27 +89,85 @@ def _rt_lineitem_ints(spark, sf_dir):
     )
 
 
-def _rt_orders_dict(spark, sf_dir):
+def _rt_orders_multi(spark, sf_dir):
+    """One round-trip covering the orders-table codec family (merged from
+    round-2's rt_orders_dict + rt_orders_bool + rt_orders_int96, to fit the
+    driver's 50-query budget without losing any operator's oracle row):
+    D15/D16 dictionary (o_orderstatus/o_orderpriority, forced), D1 PLAIN
+    boolean (is_big), D17 null weave over a boolean (is_huge_n), and D4
+    PLAIN int96 Impala-layout timestamps (ts_millis)."""
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.col("o_totalprice") > 150000).alias("is_big"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice") > 200000)
+        .alias("is_huge_n"),
+        (
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("long") * 86400000
+            + F.col("o_orderkey") % 86400000
+        ).alias("ts_millis"),
+    )
+    return roundtrip(
+        orders,
+        "o_orderkey",
+        {
+            "o_orderkey": "int",
+            "o_orderstatus": "str",
+            "o_orderpriority": "str",
+            "is_big": "bool",
+            "is_huge_n": "bool",
+            "ts_millis": "int96_ts",
+        },
+        forced_codecs={"o_orderstatus": "dict", "o_orderpriority": "dict"},
+    )
+
+
+def _rt_part_codecs(spark, sf_dir):
+    """One round-trip covering the part-table codec family (merged from
+    round-2's rt_part_for + rt_part_flba): frame-of-reference on the int
+    columns (forced) and D7 FIXED_LEN_BYTE_ARRAY on a 16-byte md5 digest
+    column; digest returned as hex so the driver canonicalizer hashes
+    strings."""
+    from parquet_python_spark.operators.generic_codec import roundtrip
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        "p_brand",
+        F.unhex(F.md5(F.col("p_partkey").cast("string"))).alias("digest"),
+    )
+    rt = roundtrip(
+        part,
+        "p_partkey",
+        {"p_partkey": "int", "p_size": "int", "p_brand": "str", "digest": "flba"},
+        forced_codecs={"p_partkey": "for", "p_size": "for"},
+    )
+    return rt.select(
+        "p_partkey", "p_size", "p_brand",
+        F.lower(F.hex("digest")).alias("digest_hex"),
+    )
+
+
+def _rt_delta_sorted(spark, sf_dir):
+    """DELTA_BINARY_PACKED wire codec (Parquet format enum
+    parquet.thrift:297-300 — implemented by neither the reference nor
+    round 2) on a per-partition-monotone key: encode_df sorts each
+    partition by the key, so o_orderkey deltas are narrow and delta_bp is
+    the natural winner (the selector picks it unforced on monotone chunks
+    — asserted in tests/test_new_codecs.py; forced here so the oracle row
+    pins THIS codec, not the selector's choice)."""
     from parquet_python_spark.operators.generic_codec import roundtrip
 
     orders = _t(spark, sf_dir, "orders")
     return roundtrip(
         orders,
         "o_orderkey",
-        {"o_orderkey": "int", "o_orderstatus": "str", "o_orderpriority": "str"},
-        forced_codecs={"o_orderstatus": "dict", "o_orderpriority": "dict"},
-    )
-
-
-def _rt_part_for(spark, sf_dir):
-    from parquet_python_spark.operators.generic_codec import roundtrip
-
-    part = _t(spark, sf_dir, "part")
-    return roundtrip(
-        part,
-        "p_partkey",
-        {"p_partkey": "int", "p_size": "int", "p_brand": "str"},
-        forced_codecs={"p_partkey": "for", "p_size": "for"},
+        {"o_orderkey": "int", "o_custkey": "int"},
+        forced_codecs={"o_orderkey": "delta_bp"},
     )
 
 
@@ -187,57 +267,6 @@ def _rt_lineitem_pruned(spark, sf_dir):
     )
 
 
-def _rt_part_flba(spark, sf_dir):
-    # D7 FIXED_LEN_BYTE_ARRAY (reference encoding.py:72-74): 16-byte md5
-    # digests as a fixed-width binary column; hex output so the driver's
-    # canonicalizer hashes strings, not bytes objects.
-    from parquet_python_spark.operators.generic_codec import roundtrip
-
-    part = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.unhex(F.md5(F.col("p_partkey").cast("string"))).alias("digest"),
-    )
-    rt = roundtrip(part, "p_partkey", {"p_partkey": "int", "digest": "flba"})
-    return rt.select("p_partkey", F.lower(F.hex("digest")).alias("digest_hex"))
-
-
-def _rt_orders_bool(spark, sf_dir):
-    # D1 PLAIN boolean (reference encoding.py:28-33) through the engine:
-    # 1 bit/value LSB-first, plus a null-woven boolean (D17 interplay)
-    from parquet_python_spark.operators.generic_codec import roundtrip
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        (F.col("o_totalprice") > 150000).alias("is_big"),
-        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
-        .otherwise(F.col("o_totalprice") > 200000)
-        .alias("is_huge_n"),
-    )
-    return roundtrip(
-        orders,
-        "o_orderkey",
-        {"o_orderkey": "int", "is_big": "bool", "is_huge_n": "bool"},
-    )
-
-
-def _rt_orders_int96(spark, sf_dir):
-    # D4 PLAIN int96 (reference encoding.py:51-54) mapped to timestamps:
-    # epoch millis -> Impala-layout (nanos-of-day, julian day) wire -> back.
-    from parquet_python_spark.operators.generic_codec import roundtrip
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        (
-            F.unix_date(F.col("o_orderdate").cast("date")).cast("long") * 86400000
-            + F.col("o_orderkey") % 86400000
-        ).alias("ts_millis"),
-    )
-    rt = roundtrip(
-        orders, "o_orderkey", {"o_orderkey": "int", "ts_millis": "int96_ts"}
-    )
-    return rt.select("o_orderkey", "ts_millis")
-
-
 def _rt_fixture_nation(spark, sf_dir):
     # the reference's own binary fixture (test-data/nation.plain.parquet,
     # the executable golden of test_read_support.py:109-204) through the
@@ -331,11 +360,11 @@ def _rt_tokens_compacted(spark, sf_dir):
     """Engine files-mode pipeline with small-files compaction in the middle:
     tokens -> many block files -> compact_blocks bin-packs them -> shuffle-
     free decode must still see every row exactly once (a part never spans
-    files, whole files concatenate).  Fresh temp dirs per run; oracle is the
-    same derived tokens table."""
-    import shutil
-    import tempfile
-
+    files, whole files concatenate).  Fresh session-lifetime temp dirs per
+    run; oracle is the same derived tokens table.  The decoded result is
+    written to a parquet the driver reads back lazily — executor-side I/O,
+    no driver materialization (round-2's collect() wrapper would become
+    the bottleneck before the operator does at a larger sf)."""
     from parquet_python_spark.engine import (
         compact_blocks,
         decode_blocks_files,
@@ -343,22 +372,17 @@ def _rt_tokens_compacted(spark, sf_dir):
         list_input_files,
     )
 
-    work = tempfile.mkdtemp(prefix="pps_cmp_")
-    try:
-        inp = f"{work}/inp"
-        _derived_tokens(spark, sf_dir).repartition(6).write.parquet(inp)
-        bdir = f"{work}/blocks"
-        encode_table_files(spark, inp, snapshot_id="drv").write.parquet(bdir)
-        n_before = len(list_input_files(bdir))
-        compact_blocks(spark, bdir, target_bytes=1 << 30)
-        assert len(list_input_files(bdir)) < n_before
-        out = _explode_tokens(decode_blocks_files(spark, bdir))
-        # materialize before the temp dir vanishes (driver collects later
-        # on a cached plan would re-read deleted files otherwise)
-        out = spark.createDataFrame(out.collect(), out.schema)
-        return out
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    work = _session_tmpdir("pps_cmp_")
+    inp = f"{work}/inp"
+    _derived_tokens(spark, sf_dir).repartition(6).write.parquet(inp)
+    bdir = f"{work}/blocks"
+    encode_table_files(spark, inp, snapshot_id="drv").write.parquet(bdir)
+    n_before = len(list_input_files(bdir))
+    compact_blocks(spark, bdir, target_bytes=1 << 30)
+    assert len(list_input_files(bdir)) < n_before
+    out = f"{work}/decoded"
+    _explode_tokens(decode_blocks_files(spark, bdir)).write.parquet(out)
+    return spark.read.parquet(out)
 
 
 def _pack_windows(spark, sf_dir):
@@ -416,33 +440,27 @@ def _sink_roundtrips(spark, sf_dir):
     """S5/S6 sinks under the oracle: nation through the CSV (tab-delimited,
     reference __init__.py:510-515) and JSON-lines (__init__.py:483-496)
     sinks and back; both read-backs must reproduce the table exactly.
-    Result materialized before the temp dirs vanish."""
-    import shutil
-    import tempfile
-
+    Session-lifetime temp dirs, so the returned DataFrame stays lazy (no
+    driver-side materialization)."""
     from parquet_python_spark.sources.sinks import write_csv, write_jsonl
 
     nation = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    work = tempfile.mkdtemp(prefix="pps_sink_")
-    try:
-        write_csv(nation, f"{work}/csv")
-        write_jsonl(nation, f"{work}/jsonl")
-        schema = "n_nationkey int, n_name string, n_regionkey int"
-        csv_back = (
-            spark.read.option("sep", "\t").option("header", True)
-            .schema(schema).csv(f"{work}/csv")
-            .select(F.lit("csv").alias("sink"), "*")
-        )
-        json_back = (
-            spark.read.schema(schema).json(f"{work}/jsonl")
-            .select(F.lit("jsonl").alias("sink"), "*")
-        )
-        out = csv_back.unionAll(json_back)
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    work = _session_tmpdir("pps_sink_")
+    write_csv(nation, f"{work}/csv")
+    write_jsonl(nation, f"{work}/jsonl")
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    csv_back = (
+        spark.read.option("sep", "\t").option("header", True)
+        .schema(schema).csv(f"{work}/csv")
+        .select(F.lit("csv").alias("sink"), "*")
+    )
+    json_back = (
+        spark.read.schema(schema).json(f"{work}/jsonl")
+        .select(F.lit("jsonl").alias("sink"), "*")
+    )
+    return csv_back.unionAll(json_back)
 
 
 def _describe_nation(spark, sf_dir):
@@ -452,52 +470,32 @@ def _describe_nation(spark, sf_dir):
     return describe_table(_t(spark, sf_dir, "nation"))
 
 
-def _converted_types(spark, sf_dir):
-    # D21 logical-type conversions as Catalyst expressions
+def _converted_all(spark, sf_dir):
+    """D21 converted/logical types in one projection (merged from round-2's
+    converted_types + converted_micros, for the driver's 50-query budget):
+    the types the reference handles (converted_types.py:47-87 — DECIMAL,
+    DATE, TIMESTAMP_MILLIS, UINT) plus the ones it leaves UNHANDLED
+    (converted_types.py:88-90 — TIMESTAMP_MICROS, INT_8/16, INTERVAL; the
+    interval round-trips through its 12-byte FLBA wire image).
+
+    Timestamps are returned as epoch millis/micros BIGINT (a timezone-proof
+    canonical form both engines hash identically); the decimal is returned
+    as DOUBLE (pandas renders Spark decimals as Decimal objects but DuckDB
+    decimals as float64 — same values, hash-differing representations)."""
     from parquet_python_spark.functions.converted import (
         date_from_days,
         decimal_from_unscaled,
+        int_8,
+        int_16,
+        interval_from_flba,
+        interval_to_flba,
+        timestamp_from_micros,
         timestamp_from_millis,
         uint32,
     )
 
     part = _t(spark, sf_dir, "part")
     signed = (F.col("p_partkey") % 100000 - 50000).cast("int")
-    # ts_val round-trips through TimestampType but is returned as epoch
-    # millis BIGINT: a timezone-independent canonical form both engines hash
-    # identically (Spark session-TZ timestamps vs DuckDB naive ones differ
-    # in representation even when the instant is the same).
-    return part.select(
-        "p_partkey",
-        # decimal conversion under test; returned as DOUBLE because pandas
-        # renders Spark decimals as Decimal objects but DuckDB decimals as
-        # float64 — same values, hash-differing representations
-        decimal_from_unscaled(F.col("p_partkey"), 18, 2)
-        .cast("double")
-        .alias("dec_val"),
-        date_from_days(F.col("p_size")).alias("date_val"),
-        F.unix_millis(timestamp_from_millis(F.col("p_partkey") * 86400000)).alias(
-            "ts_val"
-        ),
-        uint32(signed).alias("uint_val"),
-    )
-
-
-def _converted_micros(spark, sf_dir):
-    # D21 beyond-reference: the logical types the reference leaves
-    # UNHANDLED (converted_types.py:88-90 — TIMESTAMP_MICROS, INT_8/16,
-    # INTERVAL) as Catalyst expressions.  ts returned as epoch micros
-    # BIGINT (timezone-proof canonical form); INTERVAL round-trips through
-    # its 12-byte FLBA wire image and back to (months, days, millis).
-    from parquet_python_spark.functions.converted import (
-        int_8,
-        int_16,
-        interval_from_flba,
-        interval_to_flba,
-        timestamp_from_micros,
-    )
-
-    part = _t(spark, sf_dir, "part")
     iv = interval_from_flba(
         interval_to_flba(
             F.col("p_partkey") % 120,
@@ -507,6 +505,14 @@ def _converted_micros(spark, sf_dir):
     )
     return part.select(
         "p_partkey",
+        decimal_from_unscaled(F.col("p_partkey"), 18, 2)
+        .cast("double")
+        .alias("dec_val"),
+        date_from_days(F.col("p_size")).alias("date_val"),
+        F.unix_millis(timestamp_from_millis(F.col("p_partkey") * 86400000)).alias(
+            "ts_val"
+        ),
+        uint32(signed).alias("uint_val"),
         F.unix_micros(
             timestamp_from_micros(F.col("p_partkey") * 86400000000)
         ).alias("ts_us"),
@@ -526,22 +532,67 @@ def _dedup_exact(spark, sf_dir):
     return dedup_exact(_t(spark, sf_dir, "documents"))
 
 
-def _text_stats(spark, sf_dir):
-    from parquet_python_spark.operators.pipeline_ops import text_stats
+def _text_metrics(spark, sf_dir):
+    """Every text-analysis signal in ONE narrow pass (merged from round-2's
+    text_stats + token_count + quality_score + lang_id + doc_fingerprint
+    for the driver's 50-query budget — the underlying single-signal
+    operators remain in pipeline_ops with their own pytest coverage)."""
+    from parquet_python_spark.operators.pipeline_ops import text_metrics
 
-    return text_stats(_t(spark, sf_dir, "documents"))
+    return text_metrics(_t(spark, sf_dir, "documents"))
+
+
+def _stream_rates(spark, sf_dir):
+    """Structured Streaming windowed aggregation under the driver oracle:
+    a deterministic event feed derived from `documents` (ingest_ts =
+    2024-01-01 + (doc_id % 120) minutes) is replayed as a bounded file
+    stream through windowed_token_rates (10-minute event-time windows,
+    5-minute watermark), trigger=availableNow into a memory sink; the
+    DuckDB oracle is the batch twin of the same aggregation.  Complete
+    output mode so every window is emitted deterministically regardless of
+    where the replay's watermark ends up."""
+    from parquet_python_spark.streaming.stream_encode import windowed_token_rates
+
+    global _STREAM_RATES_SEQ
+    _STREAM_RATES_SEQ += 1
+    name = f"stream_rates_{_STREAM_RATES_SEQ}"
+    work = _session_tmpdir("pps_stream_")
+    inp = f"{work}/feed"
+    docs = _t(spark, sf_dir, "documents")
+    feed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("n_chars") % 240 + 16).cast("int").alias("n_tok"),
+        F.col("lang").alias("source"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(mins=(F.col("doc_id") % 120).cast("int"))
+        ).alias("ingest_ts"),
+    )
+    feed.repartition(4).write.parquet(inp)
+    q = (
+        windowed_token_rates(spark, inp)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_seconds("window_start").alias("win_start_s"),
+        "source",
+        "n_rows",
+        "n_tokens",
+    )
+
+
+_STREAM_RATES_SEQ = 0
 
 
 def _scrub_pii(spark, sf_dir):
     from parquet_python_spark.operators.pipeline_ops import scrub_pii
 
     return scrub_pii(_t(spark, sf_dir, "documents"))
-
-
-def _doc_fingerprint(spark, sf_dir):
-    from parquet_python_spark.operators.pipeline_ops import doc_fingerprint
-
-    return doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
 def _ann_cosine_topk(spark, sf_dir):
@@ -568,24 +619,6 @@ def _dedup_simhash_pairs(spark, sf_dir):
     from parquet_python_spark.operators.pipeline_ops import dedup_simhash_pairs
 
     return dedup_simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=20)
-
-
-def _lang_id(spark, sf_dir):
-    from parquet_python_spark.operators.pipeline_ops import lang_id
-
-    return lang_id(_t(spark, sf_dir, "documents"))
-
-
-def _token_count(spark, sf_dir):
-    from parquet_python_spark.operators.pipeline_ops import token_count
-
-    return token_count(_t(spark, sf_dir, "documents"))
-
-
-def _quality_score(spark, sf_dir):
-    from parquet_python_spark.operators.pipeline_ops import quality_score
-
-    return quality_score(_t(spark, sf_dir, "documents"))
 
 
 def _stratified_sample(spark, sf_dir):
@@ -843,52 +876,38 @@ def _converted_date(spark, sf_dir):
 # ----------------------------------------------------------------- export
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 queries — the driver checks at most 50 (CORRECTNESS_r02
+    covered the first 50 of round-2's 56, leaving six formally untested).
+    Round 3 merges same-table codec/text queries (rt_orders_multi,
+    rt_part_codecs, converted_all, text_metrics — each docstring names the
+    operators it carries) so every operator family keeps a hash-green
+    driver row, including the three new round-3 queries (rt_delta_sorted,
+    stream_rates) and the formerly uncovered relational six."""
     return {
         "rt_documents_auto": _rt_documents_auto,
         "rt_documents_fsst": _rt_documents_fsst,
         "rt_lineitem_ints": _rt_lineitem_ints,
-        "rt_orders_dict": _rt_orders_dict,
-        "rt_part_for": _rt_part_for,
+        "rt_orders_multi": _rt_orders_multi,
+        "rt_part_codecs": _rt_part_codecs,
+        "rt_delta_sorted": _rt_delta_sorted,
         "rt_events_dict": _rt_events_dict,
         "rt_embeddings_plain": _rt_embeddings_plain,
         "rt_customer_doubles": _rt_customer_doubles,
         "rt_documents_nulls": _rt_documents_nulls,
         "rt_region_nation_supplier": _rt_region_nation_supplier,
         "rt_lineitem_pruned": _rt_lineitem_pruned,
-        "rt_part_flba": _rt_part_flba,
-        "rt_orders_bool": _rt_orders_bool,
-        "rt_orders_int96": _rt_orders_int96,
         "rt_fixture_nation": _rt_fixture_nation,
         "rt_tokens_pruned": _rt_tokens_pruned,
         "rt_tokens_compacted": _rt_tokens_compacted,
         "pack_windows": _pack_windows,
         "pack_spans": _pack_spans,
         "remap_vocab": _remap_vocab,
+        "converted_all": _converted_all,
         "converted_bson": _converted_bson,
+        "converted_date": _converted_date,
         "sink_roundtrips": _sink_roundtrips,
         "describe_nation": _describe_nation,
-        "converted_types": _converted_types,
-        "converted_micros": _converted_micros,
-        "dedup_exact": _dedup_exact,
-        "text_stats": _text_stats,
-        "doc_fingerprint": _doc_fingerprint,
-        "scrub_pii": _scrub_pii,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "dedup_minhash": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "dedup_simhash_pairs": _dedup_simhash_pairs,
-        "lang_id": _lang_id,
-        "token_count": _token_count,
-        "quality_score": _quality_score,
-        "stratified_sample": _stratified_sample,
-        "ngram_jaccard": _ngram_jaccard,
-        "near_dup_embeddings": _near_dup_embeddings,
-        "near_dup_embeddings_lsh": _near_dup_embeddings_lsh,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "multimodal_meta": _multimodal_meta,
-        "multimodal_features": _multimodal_features,
-        "multimodal_frames": _multimodal_frames,
+        "stream_rates": _stream_rates,
         "scan_projection": _scan_projection,
         "limit_topk": _limit_topk,
         "agg_pricing_summary": _agg_pricing_summary,
@@ -899,7 +918,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_active_buyers": _setop_active_buyers,
         "asof_click_view": _asof_click_view,
         "range_join_sizes": _range_join_sizes,
-        "converted_date": _converted_date,
+        "dedup_exact": _dedup_exact,
+        "text_metrics": _text_metrics,
+        "scrub_pii": _scrub_pii,
+        "stratified_sample": _stratified_sample,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "ngram_jaccard": _ngram_jaccard,
+        "near_dup_embeddings": _near_dup_embeddings,
+        "near_dup_embeddings_lsh": _near_dup_embeddings_lsh,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "multimodal_meta": _multimodal_meta,
+        "multimodal_features": _multimodal_features,
+        "multimodal_frames": _multimodal_frames,
     }
 
 
@@ -912,10 +946,19 @@ def oracle_sql() -> dict[str, str]:
         "rt_lineitem_ints": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem"
         ),
-        "rt_orders_dict": (
-            "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders"
+        "rt_orders_multi": (
+            "SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+            "o_totalprice > 150000 AS is_big, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+            "ELSE o_totalprice > 200000 END AS is_huge_n, "
+            "CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) "
+            "* 86400000 + o_orderkey % 86400000 AS ts_millis FROM orders"
         ),
-        "rt_part_for": "SELECT p_partkey, p_size, p_brand FROM part",
+        "rt_part_codecs": (
+            "SELECT p_partkey, p_size, p_brand, "
+            "md5(CAST(p_partkey AS VARCHAR)) AS digest_hex FROM part"
+        ),
+        "rt_delta_sorted": "SELECT o_orderkey, o_custkey FROM orders",
         "rt_events_dict": "SELECT event_id, user_id, event_type FROM events",
         "rt_embeddings_plain": (
             "SELECT vec_id, label, "
@@ -1004,20 +1047,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
             "WHERE l_orderkey BETWEEN 1000 AND 3000"
         ),
-        "rt_part_flba": (
-            "SELECT p_partkey, md5(CAST(p_partkey AS VARCHAR)) AS digest_hex "
-            "FROM part"
-        ),
-        "rt_orders_bool": (
-            "SELECT o_orderkey, o_totalprice > 150000 AS is_big, "
-            "CASE WHEN o_orderkey % 5 = 0 THEN NULL "
-            "ELSE o_totalprice > 200000 END AS is_huge_n FROM orders"
-        ),
-        "rt_orders_int96": (
-            "SELECT o_orderkey, "
-            "CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) "
-            "* 86400000 + o_orderkey % 86400000 AS ts_millis FROM orders"
-        ),
         "rt_fixture_nation": _nation_fixture_oracle(),
         "converted_bson": (
             "SELECT doc_id, '{\"doc_id\":' || doc_id || ',\"lang\":\"' || lang "
@@ -1041,7 +1070,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (WHERE n_regionkey IS NULL), "
             "count(DISTINCT n_regionkey) FROM nation)"
         ),
-        "converted_types": (
+        "converted_all": (
             "SELECT p_partkey, "
             "CAST(CAST(CAST(p_partkey AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) "
             "AS DOUBLE) AS dec_val, "
@@ -1049,11 +1078,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(p_partkey * 86400000 AS BIGINT) AS ts_val, "
             "CASE WHEN (p_partkey % 100000 - 50000) < 0 "
             "THEN (p_partkey % 100000 - 50000) + 4294967296 "
-            "ELSE (p_partkey % 100000 - 50000) END AS uint_val "
-            "FROM part"
-        ),
-        "converted_micros": (
-            "SELECT p_partkey, "
+            "ELSE (p_partkey % 100000 - 50000) END AS uint_val, "
             "CAST(p_partkey * 86400000000 AS BIGINT) AS ts_us, "
             "CAST(CASE WHEN p_partkey % 256 >= 128 "
             "THEN p_partkey % 256 - 256 ELSE p_partkey % 256 END AS BIGINT) "
@@ -1066,29 +1091,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(p_partkey % 86400000 AS BIGINT) AS iv_millis "
             "FROM part"
         ),
+        "stream_rates": (
+            # batch twin of the streaming windowed aggregation: 10-minute
+            # epoch-aligned windows over ingest_ts = 2024-01-01 +
+            # (doc_id % 120) minutes (epoch 1704067200 is 600-aligned)
+            "SELECT CAST(1704067200 + (doc_id % 120) // 10 * 600 AS BIGINT) "
+            "AS win_start_s, lang AS source, count(*) AS n_rows, "
+            "CAST(sum(n_chars % 240 + 16) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY 1, 2"
+        ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups "
             "FROM documents GROUP BY text"
         ),
-        "text_stats": (
-            "SELECT doc_id, length(text) AS len_chars, "
-            "len(string_split(text, ' ')) AS n_ws_tokens, "
-            "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha, "
-            "length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, "
-            "length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct "
-            "FROM documents"
-        ),
-        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
-        "scrub_pii": _scrub_pii_oracle(),
-        "token_count": (
-            r"SELECT doc_id, "
+        "text_metrics": (
+            # one-pass merge of round-2's text_stats + token_count +
+            # quality_score + lang_id + doc_fingerprint oracles
+            r"SELECT doc_id, length(text) AS len_chars, "
+            r"len(string_split(text, ' ')) AS n_ws_tokens, "
+            r"length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha, "
+            r"length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, "
+            r"length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct, "
             r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) "
             r"AS n_bpe_tokens, "
-            r"len(string_split_regex(text, '\s+')) AS n_ws_tokens "
-            r"FROM documents"
-        ),
-        "quality_score": (
-            r"SELECT doc_id, "
             r"floor(1000 * len(regexp_extract_all(lower(text), "
             r"'\b(the|a|and|of|to|in|is)\b')) "
             r"/ greatest(len(string_split(text,' ')),1))::BIGINT AS stop_permille, "
@@ -1098,9 +1123,19 @@ def oracle_sql() -> dict[str, str]:
             r"/ greatest(length(text),1))::BIGINT AS punct_permille, "
             r"floor(1000 * (length(text) - len(string_split(text,' ')) + 1) "
             r"/ greatest(len(string_split(text,' ')),1))::BIGINT "
-            r"AS mean_word_len_x1000 "
-            r"FROM documents"
+            r"AS mean_word_len_x1000, "
+            r"CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' "
+            r"WHEN s_es >= s_en AND s_es >= s_de THEN 'es' "
+            r"WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred, "
+            r"md5(text) AS fp FROM ("
+            r"SELECT doc_id, text, "
+            r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS s_en, "
+            r"len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de, "
+            r"len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr, "
+            r"len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS s_es "
+            r"FROM documents)"
         ),
+        "scrub_pii": _scrub_pii_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
         "ngram_jaccard": (
             "WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents), "
@@ -1233,21 +1268,6 @@ def oracle_sql() -> dict[str, str]:
             "substr(d.text, CAST(i * 64 + 1 AS INTEGER), 16) AS frame_str "
             "FROM documents d, range(0, 256) AS r(i) "
             "WHERE i * 64 < length(d.text)"
-        ),
-        "lang_id": (
-            # same argmax as Spark's array_max over (score, lang) structs:
-            # ties break to the lexicographically greatest language
-            "WITH s AS (SELECT doc_id, "
-            r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS s_en, "
-            r"len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de, "
-            r"len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr, "
-            r"len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS s_es "
-            "FROM documents) "
-            "SELECT doc_id, CASE "
-            "WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr' "
-            "WHEN s_es >= s_en AND s_es >= s_de THEN 'es' "
-            "WHEN s_en >= s_de THEN 'en' "
-            "ELSE 'de' END AS lang_pred FROM s"
         ),
         "dedup_simhash": _simhash_oracle(),
         "dedup_simhash_pairs": _simhash_pairs_oracle(),

@@ -104,19 +104,93 @@ def main() -> None:
                 "ann_cosine_topk",
                 "agg_pricing_summary",
                 "join_customer_nation",
-                "text_stats",
+                "text_metrics",
             ]:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
                 queries[name] = min(queries.get(name, dt), dt)
+
+        # -------- sf1-equivalent scale check (10x rows; BENCH_SF1=0 skips).
+        # Tokens: tokengen at 10x rows (unique content by construction).
+        # Tables: sf0.1 replicated 10x with shifted keys — documents keep
+        # their text, so dedup_exact at sf1 is the "collapse 10x exact
+        # duplication" workload (dedup_minhash is NOT scaled this way:
+        # replication manufactures near-dup density, which is a quadratic
+        # workload change, not a scale-up of the same workload).
+        # Ratios land in extras as sf1_scale_<q>; ~10 means linear.
+        if os.environ.get("BENCH_SF1", "1") != "0":
+            sf1_queries: dict[str, float] = {}
+            tokens10 = os.path.join(workdir, "tokens10")
+            enc10 = os.path.join(workdir, "enc10")
+            write_tokens_table(spark, tokens10, n_rows * 10, seed=42)
+            n_tokens10 = (
+                spark.read.parquet(tokens10).agg(F.sum("n_tok")).collect()[0][0]
+            )
+            t0 = time.perf_counter()
+            encode_job(spark, tokens10, enc10)
+            sf1_queries["encode_tokens"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            decode_blocks(
+                spark.read.parquet(os.path.join(enc10, "blocks"))
+            ).agg(F.sum("n_tok")).collect()
+            sf1_queries["decode_tokens"] = time.perf_counter() - t0
+            extras["sf1_n_tokens"] = int(n_tokens10)
+
+            sf1_dir = os.path.join(workdir, "sf1")
+            os.makedirs(sf1_dir)
+            shifts = {
+                "lineitem": ("l_orderkey", 10_000_000),
+                "documents": ("doc_id", 1_000_000),
+                "customer": ("c_custkey", 10_000_000),
+                "events": ("event_id", 100_000_000),
+                "nation": (None, 0),  # dimension: copy as-is
+            }
+            for tbl, (key, off) in shifts.items():
+                src = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+                if key is None:
+                    out10 = src
+                else:
+                    reps = [
+                        src.withColumn(
+                            key, (F.col(key) + F.lit(r_ * off)).cast(
+                                dict(src.dtypes)[key]
+                            )
+                        )
+                        for r_ in range(10)
+                    ]
+                    out10 = reps[0]
+                    for d in reps[1:]:
+                        out10 = out10.unionAll(d)
+                out10.write.parquet(f"{sf1_dir}/{tbl}.parquet")
+            for name in [
+                "rt_lineitem_ints",
+                "rt_documents_auto",
+                "rt_events_dict",
+                "dedup_exact",
+                "agg_pricing_summary",
+                "join_customer_nation",
+                "text_metrics",
+            ]:
+                t0 = time.perf_counter()
+                qs[name](spark, sf1_dir).collect()
+                sf1_queries[name] = time.perf_counter() - t0
+            for name, dt in sf1_queries.items():
+                queries[f"sf1/{name}"] = dt
+                base = queries.get(name)
+                if base and base > 0:
+                    extras[f"sf1_scale_{name}"] = round(dt / base, 2)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
 
     out = {
         "metric": "engine encode throughput (tokens/sec) + headline query wall times",
-        "value": round(sum(queries.values()), 3),
+        # value: sf0.1 headline sum only (comparable round over round);
+        # sf1/* rows are the 10x-scale evidence, reported separately
+        "value": round(
+            sum(v for k, v in queries.items() if not k.startswith("sf1/")), 3
+        ),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": sf,

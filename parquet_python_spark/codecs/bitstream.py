@@ -162,7 +162,8 @@ def _pack_groups8(vals: np.ndarray, width: int) -> bytes:
 
 
 def unpack_bits_lsb(
-    data: bytes | np.ndarray, width: int, count: int, out_dtype=np.int64
+    data: bytes | np.ndarray, width: int, count: int, out_dtype=np.int64,
+    table: np.ndarray | None = None, offset: int = 0,
 ) -> np.ndarray:
     """Inverse of :func:`pack_bits_lsb`.
 
@@ -170,27 +171,52 @@ def unpack_bits_lsb(
     the narrow output halves the result's memory writes AND all downstream
     traffic, which is what the 8->32-worker decode scaling bottlenecks on
     (one box, shared bandwidth).  The result is a zero-copy signed view of
-    the unpack buffer — no trailing astype pass."""
-    small = np.dtype(out_dtype).itemsize == 4 and width <= 31
-    final = np.int32 if small else np.int64
+    the unpack buffer — no trailing astype pass.
+
+    ``table``: optional gather table — the unpacked values are treated as
+    indices and ``table[value]`` is written to the result INSIDE the
+    cache-blocked inner loop (fused unpack+gather).  This is the
+    dictionary-decode fusion: a separate index buffer would cost an extra
+    write+read of 4-8 B/value of memory traffic, the dominant term of the
+    8->32 decode scaling wall.  Result dtype is table.dtype.
+
+    ``offset``: optional constant added inside the same loop (the
+    frame-of-reference fusion; wraparound uint64 add, viewed signed — the
+    two's-complement low bits are exact for any ref the encoder admitted).
+    table and offset are mutually exclusive."""
+    if table is not None:
+        final = table.dtype
+    else:
+        small = np.dtype(out_dtype).itemsize == 4 and width <= 31
+        final = np.dtype(np.int32 if small else np.int64)
     if count == 0:
         return np.empty(0, dtype=final)
     if width == 0:
-        return np.zeros(count, dtype=final)
+        if table is not None:
+            return np.full(count, table[0], dtype=final)
+        return np.full(count, offset, dtype=final) if offset \
+            else np.zeros(count, dtype=final)
     raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
     if width > 57:
         bits = np.unpackbits(raw, bitorder="little", count=count * width)
         weights = (np.int64(1) << np.arange(width, dtype=np.int64))
-        return bits.reshape(count, width).astype(np.int64) @ weights
+        idx = bits.reshape(count, width).astype(np.int64) @ weights
+        if table is not None:
+            return table[idx]
+        return idx + offset if offset else idx
     # Main path mirrors the 64-value superblock packing: `width` uint64
     # words per 64 values, read as a zero-copy VIEW of the input bytes (no
     # pad-to-word-block copy pass); values extract with vector shifts
     # straight into the result buffer.  Only the <64-value tail pays the
     # padded 8-value-group path.
     mask = np.uint64((1 << width) - 1)
+    off_u = np.uint64(offset & ((1 << 64) - 1)) if offset else None
     groups64 = count // 64
     need64 = groups64 * width * 8
-    res = np.empty(count, dtype=np.uint32 if small else np.uint64)
+    if table is not None:
+        res = np.empty(count, dtype=final)
+    else:
+        res = np.empty(count, dtype=np.uint32 if final.itemsize == 4 else np.uint64)
     if groups64:
         try:
             W = raw[:need64].view(np.uint64).reshape(groups64, width)
@@ -209,13 +235,23 @@ def unpack_bits_lsb(
                 v = Wc[:, k] >> np.uint64(shift)
                 if shift and shift + width > 64:
                     v = v | (Wc[:, k + 1] << np.uint64(64 - shift))
-                oc[:, j] = v & mask  # store downcasts to the narrow buffer
+                if table is not None:
+                    oc[:, j] = table[v & mask]  # fused gather, L2-resident
+                elif off_u is not None:
+                    oc[:, j] = (v & mask) + off_u  # fused FOR add
+                else:
+                    oc[:, j] = v & mask  # store downcasts to narrow buffer
     tail_count = count - groups64 * 64
     if tail_count:
-        res[groups64 * 64 :] = _unpack_groups8(
-            raw[need64:], width, tail_count, mask, small
+        tail = _unpack_groups8(
+            raw[need64:], width, tail_count, mask, final.itemsize == 4
         )
-    return res.view(final)
+        if table is not None:
+            tail = table[tail]
+        elif off_u is not None:
+            tail = tail + off_u
+        res[groups64 * 64 :] = tail
+    return res if table is not None else res.view(final)
 
 
 def _unpack_groups8(

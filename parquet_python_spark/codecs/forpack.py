@@ -66,15 +66,18 @@ def encode_for(values: np.ndarray) -> tuple[bytes, dict]:
 def decode_for(data: bytes, n: int, params: dict, out_dtype=np.int64) -> np.ndarray:
     ref = params["ref"]
     width = params["width"]
-    # narrow arithmetic only when ref and ref+2^width both fit int32
+    # the reference add is FUSED into the unpack kernel's cache-blocked
+    # loop (wraparound uint64 add) — a trailing `+ ref` would read and
+    # rewrite the whole output once more; narrow int32 output only when
+    # ref and ref+2^width both fit int32
     if (
         np.dtype(out_dtype).itemsize == 4
         and width <= 31
         and -(2**31) <= ref
         and ref + (1 << width) < 2**31
     ):
-        return unpack_bits_lsb(data, width, n, np.int32) + np.int32(ref)
-    return unpack_bits_lsb(data, width, n) + ref
+        return unpack_bits_lsb(data, width, n, np.int32, offset=ref)
+    return unpack_bits_lsb(data, width, n, offset=ref)
 
 
 def _zigzag(vals: np.ndarray) -> np.ndarray:

@@ -20,6 +20,7 @@ import json
 import numpy as np
 
 from .bitstream import width_from_max_int
+from .delta_bp import decode_delta_bp, encode_delta_bp
 from .dictionary import decode_dict, dict_size_estimate, encode_dict
 from .forpack import (
     decode_bitpack,
@@ -82,15 +83,25 @@ def chunk_stats(values: np.ndarray) -> dict:
 
     long_mask = counts >= MIN_RLE_RUN
     scale = n / len(sample)
+    # delta width estimate for DELTA_BINARY_PACKED: bits to hold the
+    # sampled (delta - min_delta) range.  Python-int span guard first —
+    # an int64 np.diff would silently wrap on a > 2^62 value span.
+    vmin, vmax = int(vals.min()), int(vals.max())
+    if len(sample) >= 2 and vmax - vmin < 2**62:
+        d = np.diff(sample.astype(np.int64))
+        delta_w = width_from_max_int(int(d.max()) - int(d.min()))
+    else:
+        delta_w = 99  # delta_bp not applicable
     return {
         "n": n,
-        "min": int(vals.min()),
-        "max": int(vals.max()),
+        "min": vmin,
+        "max": vmax,
         "n_runs": max(1, int(len(counts) * scale)),
         "n_long_runs": int(long_mask.sum() * scale),
         "n_long_vals": int(counts[long_mask].sum() * scale),
         "card_est": card_est,
         "pair_dup": fsst_gain_sample(sample),
+        "delta_w": delta_w,
     }
 
 
@@ -122,6 +133,13 @@ def select_codec(stats: dict, kind: str = "int") -> str:
     w_for = width_from_max_int(max(hi - lo, 0))
     if w_for <= 62:
         costs["for"] = (n + 7) // 8 * w_for + 16
+    w_d = stats.get("delta_w", 99)
+    if n >= 2 and w_d <= 62:
+        # DELTA_BINARY_PACKED: n deltas at w_d bits + per-block overhead
+        # (min-delta varint + 4 width bytes per 1024 values) + header.
+        # Wins on monotone/clustered keys where deltas are narrow but the
+        # absolute range (FOR's width) is wide.
+        costs["delta_bp"] = n * w_d / 8 + (n / 1024) * 7 + 16
     card = max(stats["card_est"], 1)
     if card <= n // 2 or card <= 4096:
         costs["dict"] = dict_size_estimate(card, n, 8 if not fits32 else 4)
@@ -155,6 +173,9 @@ def _enc_int(vals: np.ndarray, codec: str) -> tuple[dict, bytes]:
         return params, payload
     if codec == "delta":
         payload, params = encode_delta(vals)
+        return params, payload
+    if codec == "delta_bp":
+        payload, params = encode_delta_bp(vals)
         return params, payload
     if codec == "rle":
         w = width_from_max_int(int(np.max(vals, initial=0)))
@@ -190,6 +211,8 @@ def _dec_int(
         return decode_for(data, n, params, out_dtype)
     if codec == "delta":
         return decode_delta(data, n, params)
+    if codec == "delta_bp":
+        return decode_delta_bp(data, n, params)
     if codec == "rle":
         return decode_hybrid(
             data, params["width"], n, out_dtype, hdr2=params.get("hdr2", False)
@@ -247,24 +270,42 @@ def dec_str_lens_blob(data: bytes, n: int, codec: str, params: dict):
 
 
 def _enc_str(values, codec: str) -> tuple[dict, bytes]:
-    """String-column codecs.  values: sequence of str/bytes."""
-    as_bytes = [v.encode() if isinstance(v, str) else bytes(v) for v in values]
-    if codec == "dict":
-        return {"ptype": "byte_array"}, encode_dict(
-            np.array(as_bytes, dtype=object), "byte_array"
-        )
-    lens = np.fromiter((len(b) for b in as_bytes), dtype=np.int64, count=len(as_bytes))
-    blob = b"".join(as_bytes)
-    return enc_str_lens_blob(lens, blob, codec)
+    """String-column codecs (non-Spark kernel API).  values: sequence of
+    str/bytes.  Routed through the SAME zero-copy Arrow adapters the Spark
+    hot path uses (arrow_io.encode_str_column) — one pa.array conversion,
+    then buffer-level encode; no Python-level per-value loop anywhere."""
+    import pyarrow as pa
+
+    from .arrow_io import encode_str_column
+
+    vals = list(values)
+    if vals and isinstance(vals[0], (bytes, bytearray, memoryview)):
+        arr = pa.array([bytes(v) for v in vals], type=pa.binary())
+    else:
+        arr = pa.array(vals, type=pa.utf8())
+    c, params, payload = encode_str_column(arr, codec)
+    return params, payload
 
 
 def _dec_str(data: bytes, n: int, codec: str, params: dict) -> list[bytes]:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     if codec == "dict":
-        return list(decode_dict(data, n, "byte_array"))
+        # binary (not utf8) dictionary expansion: this API must round-trip
+        # arbitrary bytes, not just valid utf-8 text
+        from .dictionary import decode_dict_parts
+
+        uniques, indices = decode_dict_parts(data, n, "byte_array")
+        dict_arr = pa.array(list(uniques), type=pa.binary())
+        return pc.take(dict_arr, pa.array(indices, type=pa.int64())).to_pylist()
     lens, blob = dec_str_lens_blob(data, n, codec, params)
-    offsets = np.zeros(n + 1, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
-    return [blob[offsets[i] : offsets[i + 1]] for i in range(n)]
+    arr = pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)]
+    )
+    return arr.to_pylist()
 
 
 def select_str_codec(values) -> str:

@@ -101,7 +101,7 @@ def _encode_rle2(run_values: np.ndarray, counts: np.ndarray, width: int) -> byte
     return B.tobytes()
 
 
-def _decode_rle2(data, width: int, n: int | None, dtype) -> np.ndarray:
+def _decode_rle2(data, width: int, n: int | None, dtype, table=None) -> np.ndarray:
     wb = (width + 7) // 8
     rec = 2 + wb
     raw = (
@@ -117,6 +117,8 @@ def _decode_rle2(data, width: int, n: int | None, dtype) -> np.ndarray:
     vb = np.zeros((R, 8), dtype=np.uint8)
     vb[:, :wb] = B[:, 2:]
     values = vb.view("<u8").ravel().astype(dtype)
+    if table is not None:
+        values = table[values]  # gather per RUN (R values), before expand
     res = np.repeat(values, counts.astype(np.int64))
     return res[:n] if n is not None and len(res) > n else res
 
@@ -195,6 +197,7 @@ def decode_hybrid(
     n: int | None = None,
     out_dtype=np.int64,
     hdr2: bool = False,
+    table: np.ndarray | None = None,
 ) -> np.ndarray:
     """Decode a raw hybrid run stream; truncate to ``n`` values when given.
 
@@ -205,12 +208,21 @@ def decode_hybrid(
     concatenate pass) — the decode path's memory traffic is the 32-worker
     scaling bottleneck.  out_dtype=np.int32 (valid when width <= 31) halves
     that traffic again.
+
+    ``table``: optional dictionary-gather fusion — decoded values are
+    treated as indices and table[idx] lands in the result directly (RLE
+    runs gather once per run; bit-packed runs gather inside
+    unpack_bits_lsb's cache-blocked loop).  Kills the intermediate index
+    buffer a decode-then-gather would write and re-read.
     """
     small = np.dtype(out_dtype).itemsize == 4 and width <= 31
-    dtype = np.int32 if small else np.int64
+    dtype = table.dtype if table is not None else (np.int32 if small else np.int64)
+    idx_dtype = np.int32 if width <= 31 else np.int64
     if hdr2:
         # fixed-stride layout (see _encode_rle2): one reshape + one repeat
-        return _decode_rle2(data, width, n, dtype)
+        return _decode_rle2(
+            data, width, n, idx_dtype if table is not None else dtype, table
+        )
     pos = 0
     total = len(data)
     if n is None:
@@ -225,7 +237,7 @@ def decode_hybrid(
                 chunks.append(
                     unpack_bits_lsb(
                         np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=pos),
-                        width, groups * 8, dtype,
+                        width, groups * 8, dtype, table=table,
                     )
                 )
                 pos += nbytes
@@ -235,10 +247,11 @@ def decode_hybrid(
                 raw = data[pos : pos + nbytes].ljust(4, b"\x00")
                 value = int.from_bytes(raw, "little", signed=True)
                 pos += nbytes
-                chunks.append(np.full(count, value, dtype=dtype))
+                fill = table[value] if table is not None else value
+                chunks.append(np.full(count, fill, dtype=dtype))
         return np.concatenate(chunks) if chunks else np.empty(0, dtype=dtype)
 
-    res = np.empty(n, dtype=dtype)
+    res = None
     p = 0
     while pos < total and p < n:
         header, pos = decode_varint(data, pos)
@@ -248,10 +261,17 @@ def decode_hybrid(
             nbytes = groups * width
             chunk = unpack_bits_lsb(
                 np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=pos),
-                width, count, dtype,
+                width, count, dtype, table=table,
             )
             pos += nbytes
             take = min(count, n - p)
+            if p == 0 and take == n:
+                # single-run stream (the common whole-chunk bit-packed
+                # case): hand back the unpack buffer itself — no n-sized
+                # copy into a second result array
+                return chunk[:n] if count > n else chunk
+            if res is None:
+                res = np.empty(n, dtype=dtype)
             res[p : p + take] = chunk[:take]
         else:
             count = header >> 1
@@ -260,8 +280,13 @@ def decode_hybrid(
             value = int.from_bytes(raw, "little", signed=True)
             pos += nbytes
             take = min(count, n - p)
-            res[p : p + take] = value  # broadcast fill, no np.full temp
+            if res is None:
+                res = np.empty(n, dtype=dtype)
+            # broadcast fill, no np.full temp (gathered once for RLE runs)
+            res[p : p + take] = table[value] if table is not None else value
         p += take
+    if res is None:
+        res = np.empty(n, dtype=dtype)
     return res[:p] if p < n else res
 
 

@@ -229,10 +229,20 @@ def dedup_simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
     w = w.select("doc_id", F.md5("word").alias("h"))
+    # project each of the 15 hex nibbles ONCE, then derive 4 bits from each
+    # — round 2 recomputed instr(substring(...)) inside all 60 aggregate
+    # expressions (~4x the codegen for identical semantics)
+    n_nibs = (bits + 3) // 4
+    w = w.select(
+        "doc_id",
+        *[
+            (F.instr(F.lit(_HEX), F.substring("h", i + 1, 1)) - 1).alias(f"nib{i}")
+            for i in range(n_nibs)
+        ],
+    )
     aggs = [F.count("*").alias("n_words")]
     for j in range(bits):
-        nib = F.instr(F.lit(_HEX), F.substring("h", j // 4 + 1, 1)) - 1
-        bit = F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col(f"nib{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
         aggs.append(F.sum(bit).alias(f"b{j}"))
     agg = w.groupBy("doc_id").agg(*aggs)
     fp = F.lit(0).cast("long")
@@ -388,17 +398,20 @@ def scrub_pii_oracle_sql(table: str = "documents") -> str:
 
 # -------------------------------------------------------------- text stats
 
-def text_stats(docs: DataFrame) -> DataFrame:
-    """Quality-scoring signals, all JVM-side built-ins (integer outputs so
-    the DuckDB oracle matches exactly)."""
-    return docs.select(
-        "doc_id",
+def _text_stats_cols() -> list:
+    return [
         F.length("text").cast("long").alias("len_chars"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
         F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long").alias("n_alpha"),
         F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long").alias("n_digit"),
         F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("long").alias("n_punct"),
-    )
+    ]
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Quality-scoring signals, all JVM-side built-ins (integer outputs so
+    the DuckDB oracle matches exactly)."""
+    return docs.select("doc_id", *_text_stats_cols())
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
@@ -406,34 +419,35 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
 
 
+LANG_PROBES = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "es": r"\b(el|los|las|una|es)\b",
+}
+
+
+def _lang_pred_col():
+    """argmax over (stopword-hit score, lang) structs — a single Column, so
+    lang-id composes into one-pass projections (text_metrics)."""
+    score_struct = F.array(
+        *[
+            F.struct(
+                F.regexp_count(F.lower(F.col("text")), F.lit(rx)).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, rx in LANG_PROBES.items()
+        ]
+    )
+    return F.array_max(score_struct).getField("lang")
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language id from stopword hits (JVM-side regexp counts).
 
     Not a model — a deterministic n-gram/stopword scorer suitable for
     coarse corpus splits; ties broken lexicographically."""
-    probes = {
-        "en": r"\b(the|and|of|to|in)\b",
-        "de": r"\b(der|die|und|das|ist)\b",
-        "fr": r"\b(le|la|et|les|des)\b",
-        "es": r"\b(el|los|las|una|es)\b",
-    }
-    scored = docs.select(
-        "doc_id",
-        *[
-            F.regexp_count(F.lower(F.col("text")), F.lit(rx)).alias(f"s_{lang}")
-            for lang, rx in probes.items()
-        ],
-    )
-    score_struct = F.array(
-        *[
-            F.struct(F.col(f"s_{lang}").alias("score"), F.lit(lang).alias("lang"))
-            for lang in probes
-        ]
-    )
-    return scored.select(
-        "doc_id",
-        F.array_max(score_struct).getField("lang").alias("lang_pred"),
-    )
+    return docs.select("doc_id", _lang_pred_col().alias("lang_pred"))
 
 
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
@@ -451,13 +465,7 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Quality-scoring signals as exact integers (permille), so the result is
-    bit-stable across engines (floats would hash-differ vs the SQL oracle).
-
-    Signals: stopword density, mean word length, punctuation density — the
-    standard cheap corpus-quality heuristics; `floor` (not round/cast) because
-    its semantics agree across Spark and DuckDB."""
+def _quality_cols() -> list:
     n_words = F.size(F.split(F.col("text"), " "))
     stop_hits = F.regexp_count(
         F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to|in|is)\b")
@@ -468,12 +476,40 @@ def quality_score(docs: DataFrame) -> DataFrame:
     permille = lambda num, den: F.floor(  # noqa: E731
         F.lit(1000) * num / F.greatest(den, F.lit(1))
     ).cast("long")
-    return docs.select(
-        "doc_id",
+    return [
         permille(stop_hits, n_words).alias("stop_permille"),
         permille(n_alpha, len_chars).alias("alpha_permille"),
         permille(n_punct, len_chars).alias("punct_permille"),
         permille(len_chars - n_words + 1, n_words).alias("mean_word_len_x1000"),
+    ]
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality-scoring signals as exact integers (permille), so the result is
+    bit-stable across engines (floats would hash-differ vs the SQL oracle).
+
+    Signals: stopword density, mean word length, punctuation density — the
+    standard cheap corpus-quality heuristics; `floor` (not round/cast) because
+    its semantics agree across Spark and DuckDB."""
+    return docs.select("doc_id", *_quality_cols())
+
+
+def text_metrics(docs: DataFrame) -> DataFrame:
+    """Every per-document text-analysis signal in ONE narrow projection:
+    stats + BPE-ish token count + quality permilles + language id +
+    content fingerprint.  This is the shape a production pipeline runs —
+    one pass over the scan computes all signals (five separate queries
+    would scan the corpus five times); the individual operators above stay
+    as the composable single-signal views of the same column builders."""
+    return docs.select(
+        "doc_id",
+        *_text_stats_cols(),
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        *_quality_cols(),
+        _lang_pred_col().alias("lang_pred"),
+        F.md5(F.col("text")).alias("fp"),
     )
 
 
@@ -1053,6 +1089,48 @@ def ann_ivf_oracle_sql(
         f"ORDER BY list_cosine_similarity(a.embedding, qv.v) DESC, a.vec_id "
         f"LIMIT {k}"
     )
+
+
+def ann_index_write(
+    emb: DataFrame, path: str, n_planes: int = 8
+) -> None:
+    """Materialize the LSH index: one pass computes each vector's bucket
+    (exact-integer ternary planes, seed 42 — the same family
+    ann_lsh_bucketed_topk uses) and writes the table PARTITIONED BY bucket.
+
+    This is the persisted-index half of the ANN story: the one-shot
+    operators recompute buckets per query (full-scan assignment pass);
+    repeated queries against a stored index skip that entirely — the
+    bucket partition column turns the probe set into PartitionFilters, so
+    non-probed buckets are never even listed, let alone read (asserted on
+    the physical plan in tests/test_pipeline_extras.py).  The same pattern
+    persists an IVF index: assign once with _ivf_assign_udf, write
+    partitioned by cluster, filter on ivf_probes at query time."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    planes = _rademacher_planes(n_planes, dim, seed=42)
+    q = _quantize_expr()
+    emb.withColumn("bucket", _bucket_expr(q, planes)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def ann_lsh_topk_indexed(
+    spark, path: str, query_vec: list[float], k: int = 10, n_planes: int = 8
+) -> DataFrame:
+    """Top-k against a persisted ann_index_write index: the probe set
+    (query bucket + Hamming<=1 neighbors) is computed driver-side from the
+    query vector alone, and the scan prunes to those partitions — no
+    bucket UDF/expression over the table, no full scan."""
+    planes = _rademacher_planes(n_planes, len(query_vec), seed=42)
+    qint = _quantize_np(query_vec)
+    q_bucket = int(
+        (((planes @ qint) >= 0).astype(np.int64) << np.arange(n_planes)).sum()
+    )
+    wanted = [q_bucket] + [q_bucket ^ (1 << i) for i in range(n_planes)]
+    idx = spark.read.parquet(path)
+    candidates = idx.filter(F.col("bucket").isin(wanted)).drop("bucket")
+    return ann_brute_force_topk(candidates, query_vec, k)
 
 
 def ann_lsh_bucketed_topk(

@@ -410,3 +410,103 @@ def test_bool_generic_roundtrip_with_nulls(spark):
     got = {r["id"]: (r["b"], r["bn"]) for r in rt.collect()}
     exp = {r["id"]: (r["b"], r["bn"]) for r in df.collect()}
     assert got == exp
+
+
+# ----------------------------------------- DELTA_BINARY_PACKED (wire layout)
+
+def test_delta_bp_roundtrip_shapes():
+    import numpy as np
+
+    from parquet_python_spark.codecs.delta_bp import (
+        decode_delta_bp,
+        encode_delta_bp,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.array([], dtype=np.int64),
+        np.array([42], dtype=np.int64),
+        np.array([-7, -7, -7], dtype=np.int64),
+        np.arange(5000, dtype=np.int64) * 3 + 10**12,
+        np.cumsum(rng.integers(-5, 50, 4097)).astype(np.int64),
+        rng.integers(-(2**40), 2**40, 2500),
+        # exact block/miniblock boundaries
+        np.cumsum(rng.integers(0, 3, 1024)).astype(np.int64),
+        np.cumsum(rng.integers(0, 3, 1023)).astype(np.int64),
+        np.cumsum(rng.integers(0, 3, 1025)).astype(np.int64),
+        np.cumsum(rng.integers(0, 3, 256)).astype(np.int64),
+        # descending (negative deltas)
+        np.arange(3000, 0, -1, dtype=np.int64),
+    ]
+    for v in cases:
+        payload, params = encode_delta_bp(v)
+        out = decode_delta_bp(payload, len(v), params)
+        assert np.array_equal(out, v), f"n={len(v)}"
+
+
+def test_delta_bp_wire_header_is_spec_shaped():
+    """Independent parse of the header/block grammar (ULEB128 + zigzag),
+    not via the decoder: spec-layout check, same spirit as the reference's
+    golden-vector tests (test_encoding.py)."""
+    import numpy as np
+
+    from parquet_python_spark.codecs.bitstream import decode_varint
+    from parquet_python_spark.codecs.delta_bp import (
+        DELTA_BP_BLOCK,
+        DELTA_BP_MINIS,
+        encode_delta_bp,
+    )
+
+    vals = np.array([100, 103, 106, 110, 90], dtype=np.int64)
+    payload, _ = encode_delta_bp(vals)
+    block, pos = decode_varint(payload, 0)
+    minis, pos = decode_varint(payload, pos)
+    total, pos = decode_varint(payload, pos)
+    zz_first, pos = decode_varint(payload, pos)
+    assert (block, minis, total) == (DELTA_BP_BLOCK, DELTA_BP_MINIS, 5)
+    assert zz_first == 100 << 1  # zigzag(100)
+    zz_md, pos = decode_varint(payload, pos)
+    assert zz_md == (20 << 1) - 1  # zigzag(min delta) = zigzag(-20)
+    widths = payload[pos : pos + minis]
+    # deltas normalized: [23, 23, 24, 0] -> width 5 in the first miniblock,
+    # trailing miniblocks empty (width 0, no payload)
+    assert widths[0] == 5 and all(w == 0 for w in widths[1:])
+    vpm = DELTA_BP_BLOCK // DELTA_BP_MINIS
+    assert len(payload) == pos + minis + vpm * 5 // 8
+
+
+def test_delta_bp_selector_picks_it_on_monotone():
+    """Monotone keys: narrow deltas, wide absolute range -> delta_bp must
+    beat FOR/bitpack in the cost model AND in actual bytes."""
+    import numpy as np
+
+    from parquet_python_spark.codecs.forpack import encode_for
+    from parquet_python_spark.codecs.registry import (
+        chunk_stats,
+        decode_column,
+        encode_column,
+        select_codec,
+    )
+
+    mono = np.arange(50_000, dtype=np.int64) * 7 + 10**9
+    assert select_codec(chunk_stats(mono)) == "delta_bp"
+    codec, params, payload, _ = encode_column(mono, "int")
+    assert codec == "delta_bp"
+    for_payload, _ = encode_for(mono)
+    assert len(payload) < len(for_payload)
+    out = decode_column(codec, payload, len(mono), params, "int")
+    assert np.array_equal(np.asarray(out), mono)
+    # random data must NOT regress to delta_bp
+    rnd = np.random.default_rng(5).integers(0, 1 << 17, 50_000)
+    assert select_codec(chunk_stats(rnd)) != "delta_bp"
+
+
+def test_delta_bp_span_guard():
+    import numpy as np
+    import pytest as _pytest
+
+    from parquet_python_spark.codecs.delta_bp import encode_delta_bp
+
+    wide = np.array([-(2**62), 2**62 - 1], dtype=np.int64)
+    with _pytest.raises(ValueError, match="span"):
+        encode_delta_bp(wide)

@@ -240,3 +240,38 @@ def test_stratified_sample_null_key(spark):
     b = {r["doc_id"] for r in stratified_sample(
         docs.repartition(3), {"en": 500}).collect()}
     assert a == b
+
+
+def test_ann_indexed_matches_and_prunes(spark, tmp_path):
+    """Persisted LSH index: same top-k as the one-shot operator, and the
+    second query's plan prunes on the bucket PARTITION column (no
+    full-table bucket computation — PartitionFilters carries the probe
+    set)."""
+    from parquet_python_spark.operators.pipeline_ops import (
+        ann_index_write,
+        ann_lsh_bucketed_topk,
+        ann_lsh_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    path = str(tmp_path / "ann_idx")
+    ann_index_write(emb, path, n_planes=8)
+
+    direct = [
+        r["vec_id"]
+        for r in ann_lsh_bucketed_topk(emb, qvec, k=10).select("vec_id").collect()
+    ]
+    indexed_df = ann_lsh_topk_indexed(spark, path, qvec, k=10)
+    indexed = [r["vec_id"] for r in indexed_df.select("vec_id").collect()]
+    assert indexed == direct
+
+    plan = indexed_df._sc._jvm.PythonSQLUtils.explainString(
+        indexed_df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the probe filter prunes at the scan: no Python eval, and the scan's
+    # partition filter carries the bucket IN-list (full-table assignment
+    # pass eliminated)
+    assert "EvalPython" not in plan
+    assert "bucket#" in plan or "bucket IN" in plan

@@ -83,10 +83,11 @@ def main() -> None:
     ok = "EvalPython" not in p
     checks.append(("dedup_simhash: zero Python eval nodes in plan", ok, p))
 
-    # 8. lang_id / quality_score / token_count JVM-side too
-    for q in ("lang_id", "quality_score", "token_count", "text_stats"):
-        p = _plan(qs[q](spark, sf_dir))
-        checks.append((f"{q}: zero Python eval nodes", "EvalPython" not in p, p))
+    # 8. text_metrics (stats + token count + quality + lang id +
+    # fingerprint in one projection) JVM-side too, and a single scan pass
+    p = _plan(qs["text_metrics"](spark, sf_dir))
+    ok = "EvalPython" not in p and p.count("Scan parquet") == 1
+    checks.append(("text_metrics: zero Python eval nodes, one scan", ok, p))
 
     # 9. LSH banding: one shuffle on the band key, no cartesian
     p = _plan(qs["dedup_minhash"](spark, sf_dir))
