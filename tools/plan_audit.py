@@ -85,8 +85,11 @@ def main() -> None:
 
     # 8. text_metrics (stats + token count + quality + lang id +
     # fingerprint in one projection) JVM-side too, and a single scan pass
+    import re as _re
+
     p = _plan(qs["text_metrics"](spark, sf_dir))
-    ok = "EvalPython" not in p and p.count("Scan parquet") == 1
+    n_scans = len(_re.findall(r"\(\d+\) Scan parquet", p))
+    ok = "EvalPython" not in p and n_scans == 1
     checks.append(("text_metrics: zero Python eval nodes, one scan", ok, p))
 
     # 9. LSH banding: one shuffle on the band key, no cartesian
