@@ -563,9 +563,12 @@ def _stream_rates(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"),
         (F.col("n_chars") % 240 + 16).cast("int").alias("n_tok"),
         F.col("lang").alias("source"),
-        (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_dt_interval(mins=(F.col("doc_id") % 120).cast("int"))
+        # timestamp built from an absolute epoch (1704067200 =
+        # 2024-01-01T00:00:00Z): timestamp_seconds/unix_seconds are
+        # timezone-independent instants, so the oracle's arithmetic holds
+        # under ANY session timezone (a TZ-local literal would not)
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") % 120) * 60
         ).alias("ingest_ts"),
     )
     feed.repartition(4).write.parquet(inp)

@@ -120,21 +120,34 @@ def main() -> None:
         # workload change, not a scale-up of the same workload).
         # Ratios land in extras as sf1_scale_<q>; ~10 means linear.
         if os.environ.get("BENCH_SF1", "1") != "0":
+            # same best-of-N protocol as the sf0.1 section: a single-shot
+            # sf1 pass would land any host stall untrimmed in the numerator
+            # and fake a super-linear sf1_scale_* ratio
             sf1_queries: dict[str, float] = {}
+
+            def best(name: str, dt: float) -> None:
+                sf1_queries[name] = min(sf1_queries.get(name, dt), dt)
+
             tokens10 = os.path.join(workdir, "tokens10")
-            enc10 = os.path.join(workdir, "enc10")
             write_tokens_table(spark, tokens10, n_rows * 10, seed=42)
             n_tokens10 = (
                 spark.read.parquet(tokens10).agg(F.sum("n_tok")).collect()[0][0]
             )
-            t0 = time.perf_counter()
-            encode_job(spark, tokens10, enc10)
-            sf1_queries["encode_tokens"] = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            decode_blocks(
-                spark.read.parquet(os.path.join(enc10, "blocks"))
-            ).agg(F.sum("n_tok")).collect()
-            sf1_queries["decode_tokens"] = time.perf_counter() - t0
+            for r in range(repeats):
+                enc10 = os.path.join(workdir, f"enc10_{r}")
+                t0 = time.perf_counter()
+                encode_job(spark, tokens10, enc10)
+                best("encode_tokens", time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                decode_blocks(
+                    spark.read.parquet(os.path.join(enc10, "blocks"))
+                ).agg(F.sum("n_tok")).collect()
+                best("decode_tokens", time.perf_counter() - t0)
+                if r > 0:
+                    shutil.rmtree(
+                        os.path.join(workdir, f"enc10_{r - 1}"),
+                        ignore_errors=True,
+                    )
             extras["sf1_n_tokens"] = int(n_tokens10)
 
             sf1_dir = os.path.join(workdir, "sf1")
@@ -163,18 +176,19 @@ def main() -> None:
                     for d in reps[1:]:
                         out10 = out10.unionAll(d)
                 out10.write.parquet(f"{sf1_dir}/{tbl}.parquet")
-            for name in [
-                "rt_lineitem_ints",
-                "rt_documents_auto",
-                "rt_events_dict",
-                "dedup_exact",
-                "agg_pricing_summary",
-                "join_customer_nation",
-                "text_metrics",
-            ]:
-                t0 = time.perf_counter()
-                qs[name](spark, sf1_dir).collect()
-                sf1_queries[name] = time.perf_counter() - t0
+            for r in range(repeats):
+                for name in [
+                    "rt_lineitem_ints",
+                    "rt_documents_auto",
+                    "rt_events_dict",
+                    "dedup_exact",
+                    "agg_pricing_summary",
+                    "join_customer_nation",
+                    "text_metrics",
+                ]:
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf1_dir).collect()
+                    best(name, time.perf_counter() - t0)
             for name, dt in sf1_queries.items():
                 queries[f"sf1/{name}"] = dt
                 base = queries.get(name)

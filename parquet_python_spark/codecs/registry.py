@@ -135,11 +135,15 @@ def select_codec(stats: dict, kind: str = "int") -> str:
         costs["for"] = (n + 7) // 8 * w_for + 16
     w_d = stats.get("delta_w", 99)
     if n >= 2 and w_d <= 62:
-        # DELTA_BINARY_PACKED: n deltas at w_d bits + per-block overhead
-        # (min-delta varint + 4 width bytes per 1024 values) + header.
-        # Wins on monotone/clustered keys where deltas are narrow but the
-        # absolute range (FOR's width) is wide.
-        costs["delta_bp"] = n * w_d / 8 + (n / 1024) * 7 + 16
+        # DELTA_BINARY_PACKED: miniblocks are 256 values and the last one
+        # zero-pads to FULL size (spec), so short chunks pay whole
+        # miniblocks — cost counts ceil(deltas/256) padded miniblocks, not
+        # raw n*w/8 (the unpadded formula overselected delta_bp on small
+        # chunks ~3x).  Plus per-block overhead (min-delta varint + 4
+        # width bytes per 1024) + header.  Wins on monotone/clustered keys
+        # where deltas are narrow but the absolute range (FOR) is wide.
+        n_minis = -(-(n - 1) // 256)
+        costs["delta_bp"] = n_minis * 256 * w_d / 8 + (n / 1024) * 7 + 16
     card = max(stats["card_est"], 1)
     if card <= n // 2 or card <= 4096:
         costs["dict"] = dict_size_estimate(card, n, 8 if not fits32 else 4)
@@ -279,8 +283,13 @@ def _enc_str(values, codec: str) -> tuple[dict, bytes]:
     from .arrow_io import encode_str_column
 
     vals = list(values)
-    if vals and isinstance(vals[0], (bytes, bytearray, memoryview)):
-        arr = pa.array([bytes(v) for v in vals], type=pa.binary())
+    # normalize when ANY element is bytes-like (mixed str/bytes input is
+    # part of this API's contract; sniffing only vals[0] would crash on it)
+    if any(isinstance(v, (bytes, bytearray, memoryview)) for v in vals):
+        arr = pa.array(
+            [v.encode() if isinstance(v, str) else bytes(v) for v in vals],
+            type=pa.binary(),
+        )
     else:
         arr = pa.array(vals, type=pa.utf8())
     c, params, payload = encode_str_column(arr, codec)
@@ -299,12 +308,11 @@ def _dec_str(data: bytes, n: int, codec: str, params: dict) -> list[bytes]:
         uniques, indices = decode_dict_parts(data, n, "byte_array")
         dict_arr = pa.array(list(uniques), type=pa.binary())
         return pc.take(dict_arr, pa.array(indices, type=pa.int64())).to_pylist()
+    from .arrow_io import string_array_from_lens_blob
+
     lens, blob = dec_str_lens_blob(data, n, codec, params)
-    offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(lens, out=offsets[1:])
-    arr = pa.Array.from_buffers(
-        pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)]
-    )
+    # binary (arbitrary bytes) + large-offset promotion for >=2 GiB blobs
+    arr = string_array_from_lens_blob(lens, blob, binary=True, allow_large=True)
     return arr.to_pylist()
 
 

@@ -414,10 +414,10 @@ toward its true time floor instead of re-rolling the noise.
 Headline pair: {lo}->{hi}: encode **{summary['scaling_efficiency_encode']}**,
 decode **{summary['scaling_efficiency_decode']}**.
 
-Single-box caveat, measured: all parallelism levels share one memory system,
-so the widest pair conflates engine scaling with socket bandwidth saturation
-— a pure-memcpy benchmark on this host (tools/ command in BASELINE notes)
-scales 8->32 procs at only ~0.7-1.0x-per-4x itself, with high variance.  On
+Single-box caveat: all parallelism levels share one memory system, so the
+widest pair conflates engine scaling with socket bandwidth saturation — see
+the measured memory-bandwidth roofline section below (tools/mem_roofline.py)
+for the host's own STREAM-kernel scaling ceiling on the same core pairs.  On
 a real N vs 4N *executor* cluster each executor brings its own memory
 channels, which the low-contention pair approximates better.
 
