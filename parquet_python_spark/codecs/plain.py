@@ -194,3 +194,30 @@ def decode_plain_byte_array(data: bytes, count: int) -> list[bytes]:
         out.append(bytes(mv[pos : pos + n]))
         pos += n
     return out
+
+
+# ------------------------------------------------- BYTE_STREAM_SPLIT (BSS)
+
+def encode_bss(values: np.ndarray, itemsize: int) -> bytes:
+    """BYTE_STREAM_SPLIT — the Parquet float encoding (public spec,
+    parquet-format Encodings.md; format enum added for FLOAT/DOUBLE):
+    byte k of every value is grouped into stream k, streams concatenated.
+    Same size as PLAIN on its own, but the streams (exponents together,
+    low mantissa bytes together) compress far better under an outer codec
+    (wrap_outer zstd/snappy) — the standard float-column trick.  One numpy
+    transpose, no per-value work."""
+    dt = "<f4" if itemsize == 4 else "<f8"
+    arr = np.ascontiguousarray(values, dtype=dt)
+    return arr.view(np.uint8).reshape(len(arr), itemsize).T.tobytes()
+
+
+def decode_bss(data: bytes, count: int, itemsize: int) -> np.ndarray:
+    dt = "<f4" if itemsize == 4 else "<f8"
+    raw = np.frombuffer(data, dtype=np.uint8, count=count * itemsize)
+    return (
+        np.ascontiguousarray(raw.reshape(itemsize, count).T)
+        .view(np.uint8)
+        .reshape(-1)
+        .view(dt)[:count]
+        .copy()
+    )

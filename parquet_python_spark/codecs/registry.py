@@ -234,12 +234,29 @@ def _dec_int(
 # ----------------------------------------------------------------- strings
 
 def enc_str_lens_blob(lens: np.ndarray, blob: bytes, codec: str) -> tuple[dict, bytes]:
-    """Core string encoding over Arrow-native (lengths, byte blob) layout."""
-    len_payload, len_params = encode_for(lens)
-    if codec == "str_plain":
+    """Core string encoding over Arrow-native (lengths, byte blob) layout.
+
+    Lengths take the smaller of frame-of-reference and DELTA_BINARY_PACKED
+    (recorded in params["lens_codec"]); codec "str_dlba" pins the
+    delta_bp-lengths + raw-bytes layout — the Parquet
+    DELTA_LENGTH_BYTE_ARRAY wire shape (public spec, Encodings.md: lengths
+    as DELTA_BINARY_PACKED, then the concatenated byte data)."""
+    if codec == "str_dlba":
+        len_payload, len_params = encode_delta_bp(lens)
+        lens_codec = "dbp"
+        body_src = "str_plain"
+    else:
+        for_payload, for_params = encode_for(lens)
+        dbp_payload, dbp_params = encode_delta_bp(lens)
+        if len(dbp_payload) < len(for_payload):
+            len_payload, len_params, lens_codec = dbp_payload, dbp_params, "dbp"
+        else:
+            len_payload, len_params, lens_codec = for_payload, for_params, "for"
+        body_src = codec
+    if body_src == "str_plain":
         body = blob
         body_params: dict = {}
-    elif codec == "str_fsst":
+    elif body_src == "str_fsst":
         stream = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
         body, body_params = encode_fsst(stream, 256)
     else:
@@ -252,18 +269,24 @@ def enc_str_lens_blob(lens: np.ndarray, blob: bytes, codec: str) -> tuple[dict, 
             body,
         ]
     )
-    return {"lens": len_params, "body": body_params}, payload
+    return (
+        {"lens": len_params, "body": body_params, "lens_codec": lens_codec},
+        payload,
+    )
 
 
 def dec_str_lens_blob(data: bytes, n: int, codec: str, params: dict):
     """Inverse of :func:`enc_str_lens_blob`; returns (lens, blob)."""
     mv = memoryview(data)
     len_sz = int.from_bytes(mv[0:4], "little")
-    lens = decode_for(mv[4 : 4 + len_sz], n, params["lens"])
+    if params.get("lens_codec", "for") == "dbp":
+        lens = decode_delta_bp(bytes(mv[4 : 4 + len_sz]), n, params["lens"])
+    else:
+        lens = decode_for(mv[4 : 4 + len_sz], n, params["lens"])
     pos = 4 + len_sz
     blob_n = int.from_bytes(mv[pos : pos + 8], "little")
     pos += 8
-    if codec == "str_plain":
+    if codec in ("str_plain", "str_dlba"):
         blob = bytes(mv[pos:])[:blob_n]
     elif codec == "str_fsst":
         stream = decode_fsst(bytes(mv[pos:]), blob_n, params["body"])
@@ -407,13 +430,31 @@ def encode_column(values, kind: str = "int", codec: str | None = None, outer: st
 
     ``outer`` optionally wraps the encoded payload in a general-purpose
     compressor (see wrap_outer) — the reference's page-compression layer."""
-    codec, params, payload, stats = _encode_column_inner(values, kind, codec)
+    codec, params, payload, stats = _encode_column_inner(values, kind, codec, outer)
     if outer:
         payload = wrap_outer(payload, params, outer)
     return codec, params, payload, stats
 
 
-def _encode_column_inner(values, kind: str, codec: str | None):
+def _select_float_codec(vals: np.ndarray, itemsize: int, outer: str | None) -> str:
+    """PLAIN vs BYTE_STREAM_SPLIT for float chunks.  BSS is byte-identical
+    in size to PLAIN on its own — it only pays off under an outer
+    compressor — so the selection is a TRIAL: zlib-1 both layouts on a
+    sample and keep BSS only when it actually shrinks the wrapped bytes.
+    Without an outer codec the answer is always PLAIN."""
+    if not outer or len(vals) == 0:
+        return "plain"
+    import zlib
+
+    from .plain import encode_bss
+
+    sample = np.ascontiguousarray(vals[: min(len(vals), 16384)])
+    plain_c = len(zlib.compress(sample.tobytes(), 1))
+    bss_c = len(zlib.compress(encode_bss(sample, itemsize), 1))
+    return "bss" if bss_c < plain_c * 0.98 else "plain"
+
+
+def _encode_column_inner(values, kind: str, codec: str | None, outer: str | None = None):
     if kind == "int":
         # dtype-preserving: int32 inputs stay int32 through the kernels
         # (halves memory traffic — the scaling bottleneck at 32 workers)
@@ -441,14 +482,28 @@ def _encode_column_inner(values, kind: str, codec: str | None):
             raise KeyError(f"unknown bool codec {codec}")
         vals = np.asarray(values, dtype=bool)
         return "plain_bool", {}, encode_plain_boolean(vals), {"n": len(vals)}
-    if kind == "float32":
-        from .plain import encode_plain_float
+    if kind in ("float32", "float64"):
+        # PLAIN or BYTE_STREAM_SPLIT (Parquet's float encoding — streams
+        # of byte k across all values; wins only under an outer codec, so
+        # selection is trial-based in _select_float_codec)
+        from .plain import (
+            encode_bss,
+            encode_plain_double,
+            encode_plain_float,
+        )
 
-        return "plain_f32", {}, encode_plain_float(values), {"n": len(values)}
-    if kind == "float64":
-        from .plain import encode_plain_double
-
-        return "plain_f64", {}, encode_plain_double(values), {"n": len(values)}
+        itemsize = 4 if kind == "float32" else 8
+        vals = np.ascontiguousarray(
+            values, dtype="<f4" if itemsize == 4 else "<f8"
+        )
+        want = codec or _select_float_codec(vals, itemsize, outer)
+        suffix = "f32" if itemsize == 4 else "f64"
+        if want in (f"bss_{suffix}", "bss"):
+            return f"bss_{suffix}", {}, encode_bss(vals, itemsize), {"n": len(vals)}
+        if want not in (f"plain_{suffix}", "plain"):
+            raise KeyError(f"unknown {kind} codec {want}")
+        enc = encode_plain_float if itemsize == 4 else encode_plain_double
+        return f"plain_{suffix}", {}, enc(vals), {"n": len(vals)}
     if kind == "flba":
         # D7 FIXED_LEN_BYTE_ARRAY (reference encoding.py:72-74): decimals,
         # UUIDs, md5 digests.  Width recorded in params.
@@ -491,12 +546,16 @@ def decode_column(
 
         return np.asarray(decode_plain_boolean(payload, n), dtype=bool)
     if kind == "float32":
-        from .plain import decode_plain_float
+        from .plain import decode_bss, decode_plain_float
 
+        if codec == "bss_f32":
+            return decode_bss(payload, n, 4)
         return np.asarray(decode_plain_float(payload, n))
     if kind == "float64":
-        from .plain import decode_plain_double
+        from .plain import decode_bss, decode_plain_double
 
+        if codec == "bss_f64":
+            return decode_bss(payload, n, 8)
         return np.asarray(decode_plain_double(payload, n))
     if kind == "flba":
         from .plain import decode_plain_flba, flba_matrix_to_bytes_list

@@ -63,6 +63,12 @@ BLOCKS_SCHEMA = T.StructType(
         # — here they drive block pruning in decode_df_pruned)
         T.StructField("stat_min", T.LongType(), True),
         T.StructField("stat_max", T.LongType(), True),
+        # split-into-words Bloom filter over the chunk's distinct values
+        # (int kinds, cardinality-capped) — equality-predicate block
+        # skipping, complementing the min/max zone maps which only help
+        # range predicates (Parquet's own BloomFilter header analog,
+        # parquet.thrift; the reference parses neither)
+        T.StructField("bloom", T.BinaryType(), True),
     ]
 )
 
@@ -79,6 +85,7 @@ _BLOCKS_ARROW = pa.schema(
         ("checksum", pa.int64()),
         ("stat_min", pa.int64()),
         ("stat_max", pa.int64()),
+        ("bloom", pa.binary()),
     ]
 )
 
@@ -93,6 +100,61 @@ _NUMERIC_NP = {
 
 # target rows per encode partition; partition count grows with data size
 TARGET_ROWS_PER_PART = 262_144
+
+# ------------------------------------------------------- bloom filters
+# Double-hashing Bloom filter over a chunk's DISTINCT int values: h_i =
+# h1 + i*h2 (Kirsch-Mitzenmacher, public literature), splitmix64 finalizer
+# for the base hashes.  ~10 bits/distinct, k=7 -> ~1% false positives.
+# Wire: [1B k][bitset bytes] (m = 8 * (len-1) bits, power of two).
+# Internal pruning metadata, not an oracle-checked value surface — uint64
+# wrap arithmetic is fine here.
+
+BLOOM_MAX_CARD = 1 << 16  # above this a filter stops paying for itself
+_BLOOM_K = 7
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return (x ^ (x >> np.uint64(31))).astype(np.uint64)
+
+
+def bloom_build(vals: np.ndarray) -> bytes | None:
+    """Bloom bitset over the distinct values of ``vals`` (None when the
+    chunk is too high-cardinality to be worth indexing)."""
+    uniq = np.unique(np.asarray(vals, dtype=np.int64))
+    if len(uniq) == 0 or len(uniq) > BLOOM_MAX_CARD:
+        return None
+    m_bits = 1 << max(10, int(np.ceil(np.log2(len(uniq) * 10))))
+    u = uniq.view(np.uint64)
+    h1 = _splitmix64(u)
+    h2 = _splitmix64(u ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+    bitset = np.zeros(m_bits // 8, dtype=np.uint8)
+    mask = np.uint64(m_bits - 1)
+    for i in range(_BLOOM_K):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            bitset, (idx >> np.uint64(3)).astype(np.int64),
+            np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)),
+        )
+    return bytes([_BLOOM_K]) + bitset.tobytes()
+
+
+def bloom_might_contain(blob: bytes, value: int) -> bool:
+    """True when ``value`` MAY be in the chunk (false positives possible,
+    false negatives impossible)."""
+    k = blob[0]
+    bitset = np.frombuffer(blob, dtype=np.uint8, offset=1)
+    m_bits = len(bitset) * 8
+    u = np.array([value], dtype=np.int64).view(np.uint64)
+    h1 = int(_splitmix64(u)[0])
+    h2 = int(_splitmix64(u ^ np.uint64(0xA076_1D64_78BD_642F))[0]) | 1
+    for i in range(k):
+        idx = (h1 + i * h2) % m_bits
+        if not (bitset[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
 
 # single-slot cache registry for roundtrip_filtered's persisted blocks
 _last_filtered_blocks = None
@@ -292,7 +354,8 @@ def encode_df(
         n_rows = tbl.num_rows
         rows = []
 
-        def add(column, codec, params, payload, n_values, stats=(None, None)):
+        def add(column, codec, params, payload, n_values, stats=(None, None),
+                bloom=None):
             rows.append(
                 {
                     "part_id": part_id,
@@ -306,6 +369,7 @@ def encode_df(
                     "checksum": zlib.crc32(payload),
                     "stat_min": stats[0],
                     "stat_max": stats[1],
+                    "bloom": bloom,
                 }
             )
 
@@ -332,11 +396,16 @@ def encode_df(
                 )
                 add(col + ".vals", c, p, payload, nv)
             else:
-                stats = (
-                    int_stats(arr) if kind in ("int", "int96_ts") else (None, None)
-                )
+                stats = (None, None)
+                bloom = None
+                if kind in ("int", "int96_ts"):
+                    stats = int_stats(arr)
+                    present = pc.drop_null(arr) if arr.null_count else arr
+                    bloom = bloom_build(
+                        present.to_numpy(zero_copy_only=False)
+                    )
                 c, p, payload, nv = _encode_values(arr, kind, forced)
-                add(col, c, p, payload, nv, stats)
+                add(col, c, p, payload, nv, stats, bloom)
         return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
 
     return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
@@ -426,6 +495,92 @@ def decode_df_pruned(
     )
     pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
     return decode_df(pruned, key_col, col_kinds, out_schema)
+
+
+def decode_df_pruned_eq(
+    blocks: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    out_schema: T.StructType,
+    pred_col: str,
+    value: int,
+) -> DataFrame:
+    """Equality-predicate block skipping via the per-chunk Bloom filters:
+    decode only partitions whose filter says ``value`` MAY be present
+    (zone maps only help range predicates; a point lookup on a
+    non-clustered column prunes nothing through min/max).
+
+    Scale shape: the bloom column alone is collected — metadata-sized
+    (~KBs per partition, payloads never move) — tested driver-side, and
+    the surviving part_ids broadcast into the same semi-join prune as the
+    stats path.  Callers re-apply the exact predicate after decode
+    (Bloom filters admit false positives, never false negatives)."""
+    if col_kinds.get(pred_col) not in ("int", "int96_ts"):
+        raise ValueError(
+            f"pred_col {pred_col!r} has kind {col_kinds.get(pred_col)!r}; "
+            "bloom pruning needs an int or int96_ts column"
+        )
+    meta = (
+        blocks.filter(F.col("column") == pred_col)
+        .select("part_id", "bloom", "stat_min", "stat_max")
+        .collect()
+    )
+    keep_ids = [
+        int(r["part_id"])
+        for r in meta
+        if (
+            # stats prune first (free), bloom second; a missing filter
+            # (high-cardinality chunk) conservatively keeps the partition
+            (r["stat_min"] is None or r["stat_min"] <= value <= r["stat_max"])
+            and (
+                r["bloom"] is None
+                or bloom_might_contain(bytes(r["bloom"]), value)
+            )
+        )
+    ]
+    spark = blocks.sparkSession
+    keep = spark.createDataFrame(
+        [(i,) for i in keep_ids] or [(-1,)], "part_id int"
+    )
+    pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
+    return decode_df(pruned, key_col, col_kinds, out_schema)
+
+
+def roundtrip_filtered_eq(
+    df: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    pred_col: str,
+    value: int,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """encode -> blocks -> bloom-pruned decode -> exact equality filter
+    (the point-lookup twin of roundtrip_filtered)."""
+    global _last_filtered_blocks
+    from pyspark import StorageLevel
+
+    cols = list(col_kinds)
+    in_schema = df.select(*cols).schema
+    blocks = encode_df(df, key_col, col_kinds, n_parts).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if _last_filtered_blocks is not None:
+        try:
+            _last_filtered_blocks.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 - session may already be gone
+            pass
+    _last_filtered_blocks = blocks
+    decoded = decode_df_pruned_eq(
+        blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
+        pred_col, value,
+    )
+    out = decoded.filter(F.col(pred_col) == value)
+    return out.select(
+        *[
+            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
+            for f in in_schema.fields
+        ]
+    )
 
 
 def roundtrip_filtered(
