@@ -129,9 +129,10 @@ def _rt_orders_multi(spark, sf_dir):
 def _rt_part_codecs(spark, sf_dir):
     """One round-trip covering the part-table codec family (merged from
     round-2's rt_part_for + rt_part_flba): frame-of-reference on the int
-    columns (forced) and D7 FIXED_LEN_BYTE_ARRAY on a 16-byte md5 digest
-    column; digest returned as hex so the driver canonicalizer hashes
-    strings."""
+    columns (forced), D7 FIXED_LEN_BYTE_ARRAY on a 16-byte md5 digest
+    column, and DELTA_LENGTH_BYTE_ARRAY (Parquet string wire: lengths as
+    DELTA_BINARY_PACKED + concatenated bytes) forced on p_brand; digest
+    returned as hex so the driver canonicalizer hashes strings."""
     from parquet_python_spark.operators.generic_codec import roundtrip
 
     part = _t(spark, sf_dir, "part").select(
@@ -144,7 +145,7 @@ def _rt_part_codecs(spark, sf_dir):
         part,
         "p_partkey",
         {"p_partkey": "int", "p_size": "int", "p_brand": "str", "digest": "flba"},
-        forced_codecs={"p_partkey": "for", "p_size": "for"},
+        forced_codecs={"p_partkey": "for", "p_size": "for", "p_brand": "str_dlba"},
     )
     return rt.select(
         "p_partkey", "p_size", "p_brand",
@@ -204,11 +205,16 @@ def _rt_embeddings_plain(spark, sf_dir):
 
 
 def _rt_customer_doubles(spark, sf_dir):
+    """D5 PLAIN doubles + BYTE_STREAM_SPLIT (Parquet's float encoding,
+    format Encodings.md BYTE_STREAM_SPLIT; neither the reference nor
+    round 2 wire it): c_acctbal forced through bss so the driver row pins
+    the byte-k-stream transpose round-trip bit-identically."""
     from parquet_python_spark.operators.generic_codec import roundtrip
 
     cust = _t(spark, sf_dir, "customer")
     return roundtrip(
-        cust, "c_custkey", {"c_custkey": "int", "c_acctbal": "float64"}
+        cust, "c_custkey", {"c_custkey": "int", "c_acctbal": "float64"},
+        forced_codecs={"c_acctbal": "bss"},
     )
 
 
@@ -250,21 +256,26 @@ def _rt_documents_nulls(spark, sf_dir):
 
 
 def _rt_lineitem_pruned(spark, sf_dir):
-    # predicate-pruned decode: per-block min/max stats (the Statistics the
-    # reference parses but never uses, parquet.thrift:198-206) skip blocks
-    # outside [lo, hi] before any payload is read or decoded; range
-    # partitioning makes the stats selective (clustered layout).
-    from parquet_python_spark.operators.generic_codec import roundtrip_filtered
+    # predicate-pruned decode, both prune paths in one driver row:
+    # mode='range' — per-block min/max stats (the Statistics the reference
+    # parses but never uses, parquet.thrift:198-206) skip blocks outside
+    # [lo, hi] before any payload is read or decoded (range partitioning
+    # makes the stats selective); mode='eq' — per-chunk Bloom filters
+    # (parquet BloomFilter.md) prune a point lookup where min/max cannot.
+    from parquet_python_spark.operators.generic_codec import (
+        roundtrip_filtered,
+        roundtrip_filtered_eq,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
-    return roundtrip_filtered(
-        li,
-        "l_orderkey",
-        {"l_orderkey": "int", "l_partkey": "int", "l_quantity": "float64"},
-        "l_orderkey",
-        1000,
-        3000,
-    )
+    kinds = {"l_orderkey": "int", "l_partkey": "int", "l_quantity": "float64"}
+    rng = roundtrip_filtered(
+        li, "l_orderkey", kinds, "l_orderkey", 1000, 3000
+    ).select(F.lit("range").alias("mode"), "*")
+    eq = roundtrip_filtered_eq(
+        li, "l_orderkey", kinds, "l_orderkey", 1234
+    ).select(F.lit("eq").alias("mode"), "*")
+    return rng.unionAll(eq)
 
 
 def _rt_fixture_nation(spark, sf_dir):
@@ -884,7 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 3 merges same-table codec/text queries (rt_orders_multi,
     rt_part_codecs, converted_all, text_metrics — each docstring names the
     operators it carries) so every operator family keeps a hash-green
-    driver row, including the three new round-3 queries (rt_delta_sorted,
+    driver row, including the two new round-3 queries (rt_delta_sorted,
     stream_rates) and the formerly uncovered relational six."""
     return {
         "rt_documents_auto": _rt_documents_auto,
@@ -1047,8 +1058,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "rt_lineitem_pruned": (
-            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem "
-            "WHERE l_orderkey BETWEEN 1000 AND 3000"
+            "SELECT 'range' AS mode, l_orderkey, l_partkey, l_quantity "
+            "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000 "
+            "UNION ALL "
+            "SELECT 'eq' AS mode, l_orderkey, l_partkey, l_quantity "
+            "FROM lineitem WHERE l_orderkey = 1234"
         ),
         "rt_fixture_nation": _nation_fixture_oracle(),
         "converted_bson": (
