@@ -13,7 +13,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dictionary import decode_dict_parts, encode_dict_wire
+from .dictionary import (
+    decode_dict_dlba_parts,
+    decode_dict_parts,
+    encode_dict_dlba_wire,
+    encode_dict_wire,
+)
 from .fsst import fsst_gain_sample
 from .registry import dec_str_lens_blob, enc_str_lens_blob
 
@@ -78,6 +83,11 @@ def string_array_from_lens_blob(
 
 
 def _select_str_codec_arrow(arr) -> str:
+    """dict when low-cardinality (page form decided at encode: PLAIN vs
+    DLBA uniques, whichever is smaller), DELTA_BYTE_ARRAY when consecutive
+    values share long prefixes, FSST on motif-repetitive streams, plain
+    otherwise.  DBA-vs-FSST compares estimated savings (dba removes ~gain
+    of the blob; fsst converts ~60% of duplicated pairs)."""
     n = len(arr)
     if n == 0:
         return "str_plain"
@@ -86,25 +96,49 @@ def _select_str_codec_arrow(arr) -> str:
     if card <= max(16, len(probe) // 8):
         return "dict"
     lens, blob = string_array_lens_blob(combined_chunks(arr).slice(0, min(n, 1024)))
+    fsst_g = 0.0
     if len(blob) > 256:
         stream = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
-        if fsst_gain_sample(stream) > 0.5:
-            return "str_fsst"
+        fsst_g = fsst_gain_sample(stream)
+    from .dba import dba_gain_sample
+
+    dba_g = dba_gain_sample(lens, blob) if len(blob) else 0.0
+    if dba_g > 0.3 and dba_g >= 0.6 * fsst_g:
+        return "str_dba"
+    if fsst_g > 0.5:
+        return "str_fsst"
     return "str_plain"
 
 
 def encode_str_column(arr, codec: str | None = None):
     """pa string array -> (codec, params, payload)."""
     arr = combined_chunks(arr)
+    forced = codec
     codec = codec or _select_str_codec_arrow(arr)
-    if codec == "dict":
+    if codec in ("dict", "dict_dlba"):
         d = pc.dictionary_encode(arr)
         indices = d.indices.to_numpy(zero_copy_only=False)
+        u_lens, u_blob = string_array_lens_blob(d.dictionary)
+        use_dlba = codec == "dict_dlba"
+        if forced is None and not use_dlba:
+            # auto page form: PLAIN uniques (the reference-parity
+            # PLAIN_DICTIONARY page) vs the DLBA uniques page — decided by
+            # actual encoded size (uniques are a small set, the trial is
+            # one cheap delta_bp of the lengths).  A caller-forced "dict"
+            # stays on the reference-parity page.
+            from .delta_bp import encode_delta_bp
+
+            dlba_page = 8 + len(encode_delta_bp(u_lens)[0]) + 8 + len(u_blob)
+            plain_page = 4 + 4 * len(u_lens) + len(u_blob)
+            use_dlba = dlba_page < plain_page
+        if use_dlba:
+            payload = encode_dict_dlba_wire(indices, u_lens, u_blob)
+            return "dict_dlba", {"ptype": "byte_array"}, payload
         uniques = [
             (u if isinstance(u, bytes) else u.encode()) for u in d.dictionary.to_pylist()
         ]
         payload = encode_dict_wire(indices, uniques, "byte_array")
-        return codec, {"ptype": "byte_array"}, payload
+        return "dict", {"ptype": "byte_array"}, payload
     lens, blob = string_array_lens_blob(arr)
     params, payload = enc_str_lens_blob(lens, blob, codec)
     return codec, params, payload
@@ -115,6 +149,10 @@ def decode_str_column(codec: str, payload: bytes, n: int, params: dict) -> pa.Ar
     if codec == "dict":
         uniques, indices = decode_dict_parts(payload, n, "byte_array")
         dict_arr = pa.array([u.decode() for u in uniques], type=pa.utf8())
+        return pc.take(dict_arr, pa.array(indices, type=pa.int64()))
+    if codec == "dict_dlba":
+        (u_lens, u_blob), indices = decode_dict_dlba_parts(payload, n)
+        dict_arr = string_array_from_lens_blob(u_lens, u_blob)
         return pc.take(dict_arr, pa.array(indices, type=pa.int64()))
     lens, blob = dec_str_lens_blob(payload, n, codec, params)
     return string_array_from_lens_blob(lens, blob)

@@ -243,8 +243,13 @@ def unpack_bits_lsb(
                     oc[:, j] = v & mask  # store downcasts to narrow buffer
     tail_count = count - groups64 * 64
     if tail_count:
+        # tail's narrow-buffer flag: for the fused-gather path the buffer
+        # holds INDICES, so key it to the pack width, not the table value
+        # dtype (an int32 table with width > 31 must not truncate indices
+        # — unreachable while dict widths are <= 31, but latent otherwise)
         tail = _unpack_groups8(
-            raw[need64:], width, tail_count, mask, final.itemsize == 4
+            raw[need64:], width, tail_count, mask,
+            (width <= 31) if table is not None else final.itemsize == 4,
         )
         if table is not None:
             tail = table[tail]

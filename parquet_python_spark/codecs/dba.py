@@ -1,0 +1,208 @@
+"""DELTA_BYTE_ARRAY — the Parquet prefix-compressed string wire (public
+spec, parquet-format Encodings.md; format enum parquet.thrift:297-300
+family).  Implemented by neither the reference (jcrobak/parquet-python)
+nor any earlier round of this engine; completes the string-wire family
+whose two halves shipped in round 3 (DELTA_BINARY_PACKED in delta_bp.py,
+DELTA_LENGTH_BYTE_ARRAY in registry.enc_str_lens_blob).
+
+Wire layout (the spec's composition, with explicit section framing since
+this engine carries no thrift page headers):
+
+    [4B <u32: prefix-lengths section size]
+        prefix lengths, one per value, as DELTA_BINARY_PACKED
+    [4B <u32: suffix-lengths section size]
+        suffix lengths, one per value, as DELTA_BINARY_PACKED
+    [8B <u64: suffix blob size]
+        concatenated suffix bytes
+
+(prefix lens + suffixes-as-DELTA_LENGTH_BYTE_ARRAY — exactly the spec's
+two components.)  value[0] always has prefix 0; value[i] =
+value[i-1][:prefix[i]] + suffix[i].
+
+Both directions are vectorized, no per-value Python on any sized input:
+
+* encode: the common-prefix scan loads the first PREFIX_CAP bytes of every
+  value into one (n, cap) uint8 matrix and finds the first mismatch row
+  against row-(i-1) with a single argmax — capping the emitted prefix at
+  PREFIX_CAP is an ENCODER choice the spec allows (any prefix <= the true
+  common prefix is legal wire) and bounds the matrix at 64 B/value.
+* decode: byte j of value i comes from the suffix of the latest row k <= i
+  with prefix[k] <= j, so per front column j the source row is
+  np.maximum.accumulate(where(prefix <= j, row, 0)) — one gather per
+  column, looped over max(prefix) columns (<= 64 for our own wire).
+  Foreign wire with a pathological front (> _DEC_VEC_CAP) falls back to an
+  exact per-row loop, loudly documented as the non-hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .delta_bp import decode_delta_bp, encode_delta_bp
+
+__all__ = [
+    "PREFIX_CAP",
+    "common_prefix_lens",
+    "encode_dba",
+    "decode_dba",
+    "dba_gain_sample",
+]
+
+PREFIX_CAP = 64
+_DEC_VEC_CAP = 512  # widest front the vectorized decoder materializes
+
+
+def common_prefix_lens(
+    lens: np.ndarray, blob: bytes | np.ndarray, cap: int = PREFIX_CAP
+) -> np.ndarray:
+    """Per-value common-prefix length vs the previous value, capped at
+    ``cap`` bytes; element 0 is always 0.  One (n, cap) matrix compare."""
+    lens = np.asarray(lens, dtype=np.int64)
+    n = len(lens)
+    out = np.zeros(n, dtype=np.int64)
+    if n < 2:
+        return out
+    u8 = (
+        blob
+        if isinstance(blob, np.ndarray)
+        else np.frombuffer(blob, dtype=np.uint8)
+    )
+    if len(u8) == 0:  # all-empty strings: every prefix is 0
+        return out
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = np.arange(cap, dtype=np.int64)
+    # clipped gather: positions past a value's end are masked by maxcmp
+    # below, so reading a clamped in-bounds byte there is harmless
+    idx = np.minimum(starts[:, None] + pos[None, :], len(u8) - 1)
+    m = u8[idx]
+    maxcmp = np.minimum(np.minimum(lens[1:], lens[:-1]), cap)
+    eq = (m[1:] == m[:-1]) & (pos[None, :] < maxcmp[:, None])
+    neq = ~eq
+    has_neq = neq.any(axis=1)
+    first_neq = np.argmax(neq, axis=1)
+    # positions >= maxcmp read as mismatches, so first_neq lands exactly at
+    # maxcmp when all comparable bytes agree and maxcmp < cap; the has_neq
+    # guard covers the all-equal full-cap row (argmax of all-False is 0)
+    out[1:] = np.where(has_neq, first_neq, maxcmp)
+    return out
+
+
+def _ragged_gather(
+    u8: np.ndarray, starts: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Concatenate u8[starts[i] : starts[i]+counts[i]] for all i (one
+    repeat + arange pass, no per-row slicing)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    ends = np.cumsum(counts)
+    src = np.repeat(starts, counts) + (
+        np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+    )
+    return u8[src]
+
+
+def encode_dba(lens: np.ndarray, blob: bytes) -> tuple[dict, bytes]:
+    """(value lengths, concatenated bytes) -> DELTA_BYTE_ARRAY payload.
+    Returns (params, payload); params carry only the codec tag —
+    the payload is self-describing."""
+    lens = np.asarray(lens, dtype=np.int64)
+    n = len(lens)
+    u8 = np.frombuffer(blob, dtype=np.uint8)
+    prefix = common_prefix_lens(lens, u8)
+    slens = lens - prefix
+    starts = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(lens[:-1], out=starts[1:])
+    sblob = _ragged_gather(u8, starts + prefix, slens)
+    p_payload, _ = encode_delta_bp(prefix)
+    s_payload, _ = encode_delta_bp(slens)
+    payload = b"".join(
+        [
+            int(len(p_payload)).to_bytes(4, "little"),
+            p_payload,
+            int(len(s_payload)).to_bytes(4, "little"),
+            s_payload,
+            int(len(sblob)).to_bytes(8, "little"),
+            sblob.tobytes(),
+        ]
+    )
+    return {}, payload
+
+
+def decode_dba(data: bytes, n: int) -> tuple[np.ndarray, bytes]:
+    """DELTA_BYTE_ARRAY payload -> (value lengths, concatenated bytes)."""
+    mv = memoryview(data)
+    p_sz = int.from_bytes(mv[0:4], "little")
+    prefix = decode_delta_bp(bytes(mv[4 : 4 + p_sz]), n)
+    pos = 4 + p_sz
+    s_sz = int.from_bytes(mv[pos : pos + 4], "little")
+    slens = decode_delta_bp(bytes(mv[pos + 4 : pos + 4 + s_sz]), n)
+    pos += 4 + s_sz
+    blob_n = int.from_bytes(mv[pos : pos + 8], "little")
+    sbuf = np.frombuffer(mv[pos + 8 :], dtype=np.uint8)[:blob_n]
+    if n == 0:
+        return np.empty(0, dtype=np.int64), b""
+    if prefix[0] != 0:
+        raise ValueError("delta_byte_array: first value has nonzero prefix")
+    if (prefix < 0).any() or (slens < 0).any():
+        raise ValueError("delta_byte_array: negative length section")
+    out_lens = prefix + slens
+    pmax = int(prefix.max())
+    if pmax == 0:  # no sharing anywhere: the suffix blob IS the data
+        return out_lens, sbuf.tobytes()
+    s_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(slens[:-1], out=s_starts[1:])
+    out_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(out_lens[:-1], out=out_starts[1:])
+    total = int(out_lens.sum())
+    out = np.empty(total, dtype=np.uint8)
+    if pmax > _DEC_VEC_CAP:
+        # exact fallback for foreign wire with a pathologically wide front
+        # (this encoder caps prefixes at PREFIX_CAP=64, so its own wire
+        # never lands here) — per-row, correct, not a hot path
+        sb = sbuf.tobytes()
+        prev = b""
+        at = 0
+        for i in range(n):
+            v = prev[: prefix[i]] + sb[s_starts[i] : s_starts[i] + int(slens[i])]
+            out[at : at + len(v)] = np.frombuffer(v, dtype=np.uint8)
+            at += len(v)
+            prev = v
+        return out_lens, out.tobytes()
+    # vectorized front reconstruction: for each front column j the byte of
+    # row i comes from the suffix of src = the latest row k <= i with
+    # prefix[k] <= j (row 0 qualifies for every j since prefix[0] = 0)
+    rows = np.arange(n, dtype=np.int64)
+    front = np.empty((n, pmax), dtype=np.uint8)
+    max_idx = max(len(sbuf) - 1, 0)
+    sbuf_safe = sbuf if len(sbuf) else np.zeros(1, dtype=np.uint8)
+    for j in range(pmax):
+        src = np.maximum.accumulate(np.where(prefix <= j, rows, 0))
+        byte_idx = s_starts[src] + (j - prefix[src])
+        # rows with j >= out_lens[i] hold garbage (clamped reads) — they
+        # are never scattered below because the mask is j < prefix[i]
+        front[:, j] = sbuf_safe[np.clip(byte_idx, 0, max_idx)]
+    pos_grid = np.arange(pmax, dtype=np.int64)
+    mask = pos_grid[None, :] < prefix[:, None]
+    tgt = out_starts[:, None] + pos_grid[None, :]
+    out[tgt[mask]] = front[mask]
+    # suffix bytes land consecutively at out_start + prefix per row
+    if len(sbuf):
+        stgt = np.repeat(out_starts + prefix, slens) + (
+            np.arange(len(sbuf), dtype=np.int64) - np.repeat(s_starts, slens)
+        )
+        out[stgt] = sbuf
+    return out_lens, out.tobytes()
+
+
+def dba_gain_sample(lens: np.ndarray, blob: bytes) -> float:
+    """Fraction of blob bytes a prefix encoding would remove (selector
+    signal, computed on the caller's probe slice)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return 0.0
+    prefix = common_prefix_lens(lens, blob)
+    return float(prefix.sum()) / total

@@ -30,7 +30,13 @@ from .plain import (
 )
 from .rle import decode_hybrid, encode_hybrid
 
-__all__ = ["encode_dict", "decode_dict", "dict_size_estimate"]
+__all__ = [
+    "encode_dict",
+    "decode_dict",
+    "dict_size_estimate",
+    "encode_dict_dlba_wire",
+    "decode_dict_dlba_parts",
+]
 
 _PLAIN_ENC = {
     "int32": encode_plain_int32,
@@ -139,6 +145,60 @@ def decode_dict(data: bytes, n: int, physical_type: str = "int32"):
     uniques = np.asarray(_PLAIN_DEC[physical_type](data[fo_pos:body_start], n_dict))
     width = data[body_start]
     return decode_hybrid(data[body_start + 1 :], width, n, table=uniques)
+
+
+def encode_dict_dlba_wire(
+    codes: np.ndarray, lens: np.ndarray, blob: bytes
+) -> bytes:
+    """String dictionary with the uniques page in DELTA_LENGTH_BYTE_ARRAY
+    form (lengths as DELTA_BINARY_PACKED + concatenated bytes) instead of
+    PLAIN's per-value 4-byte length prefixes — the round-4 'dict-of-DLBA'
+    page.  Saves ~4 bytes per distinct value; the index section is the
+    same RLE/bit-packed hybrid as the reference-parity wire.
+
+        [4B <i n_dict]
+        [4B <u32 dict-lens section size][dict lens: DELTA_BINARY_PACKED]
+        [8B <u64 dict blob size][dict blob]
+        [1B bit width][RLE/bit-packed hybrid of indices]
+    """
+    from .delta_bp import encode_delta_bp
+
+    n_dict = len(lens)
+    lens_payload, _ = encode_delta_bp(np.asarray(lens, dtype=np.int64))
+    width = width_from_max_int(max(n_dict - 1, 0))
+    index_page = encode_hybrid(np.asarray(codes), width)
+    return b"".join(
+        [
+            int(n_dict).to_bytes(4, "little", signed=True),
+            int(len(lens_payload)).to_bytes(4, "little"),
+            lens_payload,
+            int(len(blob)).to_bytes(8, "little"),
+            blob,
+            bytes([width]),
+            index_page,
+        ]
+    )
+
+
+def decode_dict_dlba_parts(data: bytes, n: int):
+    """Parse the dict-of-DLBA wire into ((uniq_lens, uniq_blob), indices)
+    without expanding — callers gather with pyarrow take()."""
+    from .delta_bp import decode_delta_bp
+
+    mv = memoryview(data)
+    n_dict = int.from_bytes(mv[:4], "little", signed=True)
+    l_sz = int.from_bytes(mv[4:8], "little")
+    lens = decode_delta_bp(bytes(mv[8 : 8 + l_sz]), n_dict)
+    pos = 8 + l_sz
+    blob_n = int.from_bytes(mv[pos : pos + 8], "little")
+    pos += 8
+    blob = bytes(mv[pos : pos + blob_n])
+    pos += blob_n
+    width = data[pos]
+    indices = decode_hybrid(
+        data[pos + 1 :], width, n, np.int32 if width <= 31 else np.int64
+    )
+    return (lens, blob), indices
 
 
 def dict_size_estimate(card: int, n: int, value_bytes: int) -> int:

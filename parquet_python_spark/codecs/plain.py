@@ -184,16 +184,36 @@ def epoch_millis_from_int96(data: bytes, count: int) -> np.ndarray:
 
 
 def decode_plain_byte_array(data: bytes, count: int) -> list[bytes]:
-    """Inverse of encode_plain_byte_array; returns a list of bytes objects."""
-    out = []
-    pos = 0
+    """Inverse of encode_plain_byte_array; returns a list of bytes objects.
+
+    The length scan is inherently sequential (each record's position
+    depends on the previous record's length — self-delimiting wire), but
+    it touches only 4-byte ints; the payload extraction is one vectorized
+    masked gather and the values materialize through the same Arrow
+    buffer constructor as the Spark hot path (arrow_io), not per-value
+    slicing.  Non-hot regardless: the Spark path stores strings in the
+    lens+blob layout and never parses this interleaved wire."""
+    if count == 0:
+        return []
+    from .arrow_io import string_array_from_lens_blob
+
     mv = memoryview(data)
-    for _ in range(count):
+    lens = np.empty(count, dtype=np.int64)
+    pos = 0
+    for k in range(count):  # sequential scan: wire is self-delimiting
         n = int.from_bytes(mv[pos : pos + 4], "little", signed=True)
-        pos += 4
-        out.append(bytes(mv[pos : pos + n]))
-        pos += n
-    return out
+        lens[k] = n
+        pos += 4 + n
+    total = pos
+    starts = np.zeros(count, dtype=np.int64)
+    np.cumsum(lens[:-1] + 4, out=starts[1:])
+    raw = np.frombuffer(mv, dtype=np.uint8, count=total)
+    mask = np.ones(total, dtype=bool)
+    mask[(starts[:, None] + np.arange(4)).ravel()] = False
+    arr = string_array_from_lens_blob(
+        lens, raw[mask].tobytes(), binary=True, allow_large=True
+    )
+    return arr.to_pylist()
 
 
 # ------------------------------------------------- BYTE_STREAM_SPLIT (BSS)

@@ -240,7 +240,13 @@ def enc_str_lens_blob(lens: np.ndarray, blob: bytes, codec: str) -> tuple[dict, 
     (recorded in params["lens_codec"]); codec "str_dlba" pins the
     delta_bp-lengths + raw-bytes layout — the Parquet
     DELTA_LENGTH_BYTE_ARRAY wire shape (public spec, Encodings.md: lengths
-    as DELTA_BINARY_PACKED, then the concatenated byte data)."""
+    as DELTA_BINARY_PACKED, then the concatenated byte data); codec
+    "str_dba" is the Parquet DELTA_BYTE_ARRAY prefix-compressed wire
+    (prefix lengths as delta_bp + suffixes as DLBA — see codecs/dba.py)."""
+    if codec == "str_dba":
+        from .dba import encode_dba
+
+        return encode_dba(lens, blob)
     if codec == "str_dlba":
         len_payload, len_params = encode_delta_bp(lens)
         lens_codec = "dbp"
@@ -277,6 +283,10 @@ def enc_str_lens_blob(lens: np.ndarray, blob: bytes, codec: str) -> tuple[dict, 
 
 def dec_str_lens_blob(data: bytes, n: int, codec: str, params: dict):
     """Inverse of :func:`enc_str_lens_blob`; returns (lens, blob)."""
+    if codec == "str_dba":
+        from .dba import decode_dba
+
+        return decode_dba(data, n)
     mv = memoryview(data)
     len_sz = int.from_bytes(mv[0:4], "little")
     if params.get("lens_codec", "for") == "dbp":
@@ -331,6 +341,13 @@ def _dec_str(data: bytes, n: int, codec: str, params: dict) -> list[bytes]:
         uniques, indices = decode_dict_parts(data, n, "byte_array")
         dict_arr = pa.array(list(uniques), type=pa.binary())
         return pc.take(dict_arr, pa.array(indices, type=pa.int64())).to_pylist()
+    if codec == "dict_dlba":
+        from .arrow_io import string_array_from_lens_blob
+        from .dictionary import decode_dict_dlba_parts
+
+        (u_lens, u_blob), indices = decode_dict_dlba_parts(data, n)
+        dict_arr = string_array_from_lens_blob(u_lens, u_blob, binary=True)
+        return pc.take(dict_arr, pa.array(indices, type=pa.int64())).to_pylist()
     from .arrow_io import string_array_from_lens_blob
 
     lens, blob = dec_str_lens_blob(data, n, codec, params)
@@ -340,8 +357,12 @@ def _dec_str(data: bytes, n: int, codec: str, params: dict) -> list[bytes]:
 
 
 def select_str_codec(values) -> str:
-    """Selector for string columns: dict when low-cardinality, FSST when the
-    byte stream shows motif repetition, plain otherwise."""
+    """Selector for string columns: dict when low-cardinality, then
+    DELTA_BYTE_ARRAY when consecutive values share long prefixes (sorted /
+    clustered keys, URLs, paths), FSST when the byte stream shows motif
+    repetition, plain otherwise.  DBA-vs-FSST compares estimated savings:
+    dba removes ~gain of the blob outright, fsst converts ~60% of
+    duplicated pairs to 1-symbol hits."""
     n = len(values)
     if n == 0:
         return "str_plain"
@@ -349,11 +370,23 @@ def select_str_codec(values) -> str:
     card = len(set(probe))
     if card <= max(16, len(probe) // 8):
         return "dict"
-    blob = "".join(v if isinstance(v, str) else "" for v in probe[:1024]).encode()
+    sub = probe[:1024]
+    blob = "".join(v if isinstance(v, str) else "" for v in sub).encode()
+    fsst_g = 0.0
     if len(blob) > 256:
         stream = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
-        if fsst_gain_sample(stream) > 0.5:
-            return "str_fsst"
+        fsst_g = fsst_gain_sample(stream)
+    from .dba import dba_gain_sample
+
+    lens = np.fromiter(
+        (len(v.encode()) if isinstance(v, str) else 0 for v in sub),
+        dtype=np.int64, count=len(sub),
+    )
+    dba_g = dba_gain_sample(lens, blob) if len(blob) else 0.0
+    if dba_g > 0.3 and dba_g >= 0.6 * fsst_g:
+        return "str_dba"
+    if fsst_g > 0.5:
+        return "str_fsst"
     return "str_plain"
 
 
@@ -436,21 +469,34 @@ def encode_column(values, kind: str = "int", codec: str | None = None, outer: st
     return codec, params, payload, stats
 
 
+def _trial_compress_len(buf: bytes, outer: str) -> int:
+    """Compressed size of ``buf`` under the ACTUAL outer codec (snappy and
+    zstd have very different BSS win margins than deflate, so a zlib proxy
+    can mispredict the PLAIN-vs-BSS trial for them).  gzip bodies ARE
+    deflate streams, so zlib-1 is the exact proxy for both zlib and gzip."""
+    if outer in ("snappy", "zstd"):
+        import pyarrow as pa
+
+        return len(pa.Codec(outer).compress(buf))
+    import zlib
+
+    return len(zlib.compress(buf, 1))
+
+
 def _select_float_codec(vals: np.ndarray, itemsize: int, outer: str | None) -> str:
     """PLAIN vs BYTE_STREAM_SPLIT for float chunks.  BSS is byte-identical
     in size to PLAIN on its own — it only pays off under an outer
-    compressor — so the selection is a TRIAL: zlib-1 both layouts on a
-    sample and keep BSS only when it actually shrinks the wrapped bytes.
-    Without an outer codec the answer is always PLAIN."""
+    compressor — so the selection is a TRIAL: compress both layouts of a
+    sample with the actual outer codec and keep BSS only when it shrinks
+    the wrapped bytes.  Without an outer codec the answer is always
+    PLAIN."""
     if not outer or len(vals) == 0:
         return "plain"
-    import zlib
-
     from .plain import encode_bss
 
     sample = np.ascontiguousarray(vals[: min(len(vals), 16384)])
-    plain_c = len(zlib.compress(sample.tobytes(), 1))
-    bss_c = len(zlib.compress(encode_bss(sample, itemsize), 1))
+    plain_c = _trial_compress_len(sample.tobytes(), outer)
+    bss_c = _trial_compress_len(encode_bss(sample, itemsize), outer)
     return "bss" if bss_c < plain_c * 0.98 else "plain"
 
 
