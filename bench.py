@@ -105,6 +105,7 @@ def main() -> None:
                 "agg_pricing_summary",
                 "join_customer_nation",
                 "text_metrics",
+                "quality_filters",
             ]:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).collect()
@@ -185,6 +186,7 @@ def main() -> None:
                     "agg_pricing_summary",
                     "join_customer_nation",
                     "text_metrics",
+                    "quality_filters",
                 ]:
                     t0 = time.perf_counter()
                     qs[name](spark, sf1_dir).collect()
@@ -198,13 +200,23 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
 
+    sf01_sum = round(
+        sum(v for k, v in queries.items() if not k.startswith("sf1/")), 3
+    )
+    sf1_sum = round(
+        sum(v for k, v in queries.items() if k.startswith("sf1/")), 3
+    )
     out = {
-        "metric": "engine encode throughput (tokens/sec) + headline query wall times",
-        # value: sf0.1 headline sum only (comparable round over round);
-        # sf1/* rows are the 10x-scale evidence, reported separately
-        "value": round(
-            sum(v for k, v in queries.items() if not k.startswith("sf1/")), 3
+        "metric": (
+            "headline query wall times, sf1 sum primary "
+            "(sf0.1 sum in value_sf01 for round-over-round continuity; "
+            "round-3 verdict: the sf0.1 section is fixed-overhead-dominated "
+            "and drifts +-20% with no code change, so the 10x-data rows "
+            "are the regression gate from round 4 on)"
         ),
+        # value: sum of the sf1/* rows — the primary per-round gate
+        "value": sf1_sum if sf1_sum > 0 else sf01_sum,
+        "value_sf01": sf01_sum,
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": sf,

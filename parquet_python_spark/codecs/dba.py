@@ -69,15 +69,27 @@ def common_prefix_lens(
     )
     if len(u8) == 0:  # all-empty strings: every prefix is 0
         return out
+    # effective cap: no value can share more than the longest value's
+    # length — for short-string corpora (ids, brands, paths) this shrinks
+    # the matrix to a fraction of the 64-byte worst case, and the matrix
+    # is THE cost of this scan (measured 5x on 18-byte ids)
+    cap = int(min(cap, int(lens.max())))
+    if cap == 0:
+        return out
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    pos = np.arange(cap, dtype=np.int64)
+    # int32 index matrix when the blob allows it: halves the gather's
+    # index traffic (chunks are bounded well under 2 GiB in practice)
+    idx_dt = np.int32 if len(u8) < 2**31 else np.int64
+    pos = np.arange(cap, dtype=idx_dt)
+    idx = starts.astype(idx_dt)[:, None] + pos[None, :]
     # clipped gather: positions past a value's end are masked by maxcmp
     # below, so reading a clamped in-bounds byte there is harmless
-    idx = np.minimum(starts[:, None] + pos[None, :], len(u8) - 1)
+    np.minimum(idx, idx_dt(len(u8) - 1), out=idx)
     m = u8[idx]
     maxcmp = np.minimum(np.minimum(lens[1:], lens[:-1]), cap)
-    eq = (m[1:] == m[:-1]) & (pos[None, :] < maxcmp[:, None])
+    eq = m[1:] == m[:-1]
+    eq &= pos[None, :] < maxcmp[:, None]
     neq = ~eq
     has_neq = neq.any(axis=1)
     first_neq = np.argmax(neq, axis=1)
@@ -173,17 +185,24 @@ def decode_dba(data: bytes, n: int) -> tuple[np.ndarray, bytes]:
         return out_lens, out.tobytes()
     # vectorized front reconstruction: for each front column j the byte of
     # row i comes from the suffix of src = the latest row k <= i with
-    # prefix[k] <= j (row 0 qualifies for every j since prefix[0] = 0)
+    # prefix[k] <= j (row 0 qualifies for every j since prefix[0] = 0).
+    # Columns are processed in blocks: one 2-D maximum.accumulate per
+    # block replaces a per-column Python loop, while the block width
+    # bounds the (n, w) temporaries for foreign wide-front wire.
     rows = np.arange(n, dtype=np.int64)
     front = np.empty((n, pmax), dtype=np.uint8)
     max_idx = max(len(sbuf) - 1, 0)
     sbuf_safe = sbuf if len(sbuf) else np.zeros(1, dtype=np.uint8)
-    for j in range(pmax):
-        src = np.maximum.accumulate(np.where(prefix <= j, rows, 0))
-        byte_idx = s_starts[src] + (j - prefix[src])
+    for j0 in range(0, pmax, PREFIX_CAP):
+        w = min(PREFIX_CAP, pmax - j0)
+        pos_blk = np.arange(j0, j0 + w, dtype=np.int64)
+        src = np.where(prefix[:, None] <= pos_blk[None, :], rows[:, None], 0)
+        np.maximum.accumulate(src, axis=0, out=src)
+        byte_idx = s_starts[src] + (pos_blk[None, :] - prefix[src])
         # rows with j >= out_lens[i] hold garbage (clamped reads) — they
         # are never scattered below because the mask is j < prefix[i]
-        front[:, j] = sbuf_safe[np.clip(byte_idx, 0, max_idx)]
+        np.clip(byte_idx, 0, max_idx, out=byte_idx)
+        front[:, j0 : j0 + w] = sbuf_safe[byte_idx]
     pos_grid = np.arange(pmax, dtype=np.int64)
     mask = pos_grid[None, :] < prefix[:, None]
     tgt = out_starts[:, None] + pos_grid[None, :]

@@ -32,6 +32,7 @@ from __future__ import annotations
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import DataFrame
@@ -123,7 +124,16 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 def bloom_build(vals: np.ndarray) -> bytes | None:
     """Bloom bitset over the distinct values of ``vals`` (None when the
     chunk is too high-cardinality to be worth indexing)."""
-    uniq = np.unique(np.asarray(vals, dtype=np.int64))
+    vals = np.asarray(vals, dtype=np.int64)
+    if len(vals) > 2 * BLOOM_MAX_CARD:
+        # cheap exact short-circuit before the full O(n log n) unique:
+        # distinct(any subset) <= distinct(all), so a strided half-sample
+        # already exceeding the cap proves the chunk is over it — the
+        # common case for unique-key columns, which otherwise pay the
+        # full sort just to learn "no filter"
+        if len(np.unique(vals[::2])) > BLOOM_MAX_CARD:
+            return None
+    uniq = np.unique(vals)
     if len(uniq) == 0 or len(uniq) > BLOOM_MAX_CARD:
         return None
     m_bits = 1 << max(10, int(np.ceil(np.log2(len(uniq) * 10))))
@@ -156,8 +166,25 @@ def bloom_might_contain(blob: bytes, value: int) -> bool:
             return False
     return True
 
-# single-slot cache registry for roundtrip_filtered's persisted blocks
-_last_filtered_blocks = None
+# bounded cache registry for roundtrip_filtered{,_eq}'s persisted blocks.
+# Two slots, not one: a single driver query may lazily hold TWO filtered
+# round-trips at once (rt_lineitem_pruned unions the range and eq halves),
+# and a single-slot eager unpersist would evict the sibling's blocks before
+# the union is consumed — correct only by accidental recompute, 2x the work.
+_FILTERED_BLOCKS_KEEP = 2
+_filtered_blocks_cache: list = []
+
+
+def _retain_filtered_blocks(blocks) -> None:
+    """Register a persisted blocks DataFrame; evict (unpersist) the oldest
+    beyond the last _FILTERED_BLOCKS_KEEP."""
+    _filtered_blocks_cache.append(blocks)
+    while len(_filtered_blocks_cache) > _FILTERED_BLOCKS_KEEP:
+        old = _filtered_blocks_cache.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 - session may already be gone
+            pass
 
 
 def _def_levels_blob(valid: np.ndarray) -> bytes:
@@ -285,6 +312,7 @@ def encode_df(
     n_parts: int | None = None,
     forced_codecs: dict[str, str] | None = None,
     partitioning: str = "hash",
+    build_blooms: bool = True,
 ) -> DataFrame:
     """Encode ``col_kinds`` columns of ``df`` into a blocks DataFrame.
 
@@ -294,6 +322,10 @@ def encode_df(
     clustered-table layout that makes per-block min/max stats selective
     (decode_df_pruned skips whole blocks).  Both are deterministic given
     the data; n_parts scales with the row count unless pinned.
+
+    build_blooms=False skips the per-chunk Bloom bitsets (a per-int-column
+    np.unique at encode time) for workloads that will never point-prune;
+    min/max stats are always built (near-free off Arrow min_max).
     """
     forced_codecs = forced_codecs or {}
     cols = [key_col] + [c for c in col_kinds if c != key_col]
@@ -400,10 +432,11 @@ def encode_df(
                 bloom = None
                 if kind in ("int", "int96_ts"):
                     stats = int_stats(arr)
-                    present = pc.drop_null(arr) if arr.null_count else arr
-                    bloom = bloom_build(
-                        present.to_numpy(zero_copy_only=False)
-                    )
+                    if build_blooms:
+                        present = pc.drop_null(arr) if arr.null_count else arr
+                        bloom = bloom_build(
+                            present.to_numpy(zero_copy_only=False)
+                        )
                 c, p, payload, nv = _encode_values(arr, kind, forced)
                 add(col, c, p, payload, nv, stats, bloom)
         return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
@@ -510,37 +543,38 @@ def decode_df_pruned_eq(
     (zone maps only help range predicates; a point lookup on a
     non-clustered column prunes nothing through min/max).
 
-    Scale shape: the bloom column alone is collected — metadata-sized
-    (~KBs per partition, payloads never move) — tested driver-side, and
-    the surviving part_ids broadcast into the same semi-join prune as the
-    stats path.  Callers re-apply the exact predicate after decode
-    (Bloom filters admit false positives, never false negatives)."""
+    Scale shape: the stats prune is a plain pushed-down column predicate;
+    the bloom membership test runs EXECUTOR-side (vectorized pandas UDF
+    over the metadata rows) so bitsets — up to ~80 KB/chunk — never move
+    to the driver at any chunk count.  Only the surviving part_ids flow
+    into the broadcast semi-join prune, exactly like the stats path.
+    Callers re-apply the exact predicate after decode (Bloom filters
+    admit false positives, never false negatives)."""
     if col_kinds.get(pred_col) not in ("int", "int96_ts"):
         raise ValueError(
             f"pred_col {pred_col!r} has kind {col_kinds.get(pred_col)!r}; "
             "bloom pruning needs an int or int96_ts column"
         )
-    meta = (
-        blocks.filter(F.col("column") == pred_col)
-        .select("part_id", "bloom", "stat_min", "stat_max")
-        .collect()
-    )
-    keep_ids = [
-        int(r["part_id"])
-        for r in meta
-        if (
-            # stats prune first (free), bloom second; a missing filter
-            # (high-cardinality chunk) conservatively keeps the partition
-            (r["stat_min"] is None or r["stat_min"] <= value <= r["stat_max"])
-            and (
-                r["bloom"] is None
-                or bloom_might_contain(bytes(r["bloom"]), value)
-            )
+    @F.pandas_udf("boolean")
+    def _might_contain(bloom: pd.Series) -> pd.Series:
+        # a missing filter (high-cardinality chunk) conservatively keeps
+        # the partition; bitsets are deserialized and tested where the
+        # metadata rows already live
+        return bloom.map(
+            lambda b: True if b is None else bloom_might_contain(bytes(b), value)
         )
-    ]
-    spark = blocks.sparkSession
-    keep = spark.createDataFrame(
-        [(i,) for i in keep_ids] or [(-1,)], "part_id int"
+
+    keep = (
+        blocks.filter(F.col("column") == pred_col)
+        # stats prune first (free, JVM, pushes to the blocks scan):
+        # a NULL stat (all-null chunk of a nullable column) keeps the row
+        .filter(
+            F.col("stat_min").isNull()
+            | ((F.col("stat_min") <= value) & (F.col("stat_max") >= value))
+        )
+        .filter(_might_contain(F.col("bloom")))
+        .select("part_id")
+        .distinct()
     )
     pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
     return decode_df(pruned, key_col, col_kinds, out_schema)
@@ -556,7 +590,6 @@ def roundtrip_filtered_eq(
 ) -> DataFrame:
     """encode -> blocks -> bloom-pruned decode -> exact equality filter
     (the point-lookup twin of roundtrip_filtered)."""
-    global _last_filtered_blocks
     from pyspark import StorageLevel
 
     cols = list(col_kinds)
@@ -564,12 +597,7 @@ def roundtrip_filtered_eq(
     blocks = encode_df(df, key_col, col_kinds, n_parts).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    if _last_filtered_blocks is not None:
-        try:
-            _last_filtered_blocks.unpersist(blocking=False)
-        except Exception:  # noqa: BLE001 - session may already be gone
-            pass
-    _last_filtered_blocks = blocks
+    _retain_filtered_blocks(blocks)
     decoded = decode_df_pruned_eq(
         blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
         pred_col, value,
@@ -600,12 +628,11 @@ def roundtrip_filtered(
 
     The blocks DataFrame is persisted across its two consumers (the stats
     scan and the pruned decode) — without it the whole Arrow encode stage
-    would execute twice.  The cache is released when the NEXT call comes
-    in (module-level single-slot registry), bounding the session to one
-    retained encode instead of one per call.  In a persistent deployment
-    the blocks live in a parquet/Iceberg table instead and the stats
-    filter prunes at the scan."""
-    global _last_filtered_blocks
+    would execute twice.  The cache is released as newer calls come in
+    (module-level two-slot registry — see _retain_filtered_blocks),
+    bounding the session to two retained encodes instead of one per call.
+    In a persistent deployment the blocks live in a parquet/Iceberg table
+    instead and the stats filter prunes at the scan."""
     from pyspark import StorageLevel
 
     cols = list(col_kinds)
@@ -613,12 +640,7 @@ def roundtrip_filtered(
     blocks = encode_df(
         df, key_col, col_kinds, n_parts, forced_codecs, partitioning="range"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    if _last_filtered_blocks is not None:
-        try:
-            _last_filtered_blocks.unpersist(blocking=False)
-        except Exception:  # noqa: BLE001 - session may already be gone
-            pass
-    _last_filtered_blocks = blocks
+    _retain_filtered_blocks(blocks)
     decoded = decode_df_pruned(
         blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
         pred_col, lo, hi,

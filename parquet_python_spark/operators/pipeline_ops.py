@@ -513,6 +513,113 @@ def text_metrics(docs: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher/C4-style repetition + quality filters (word-level).
+
+    The document-quality stage a training-data pipeline runs after dedup
+    (public heuristics from the Gopher paper, Rae et al. 2021 §A1.1, and
+    C4, Raffel et al. 2020): documents dominated by a repeated 2-gram,
+    heavy word repetition, or symbol noise are cut before training.
+    Line-level variants are intentionally absent — this corpus's `text`
+    has no newlines, so they would be degenerate.
+
+    Signals (exact integers — permille via floor — so the DuckDB oracle
+    hashes bit-identically; same convention as quality_score):
+
+    * ``dup_2gram_permille`` — chars covered by the most frequent word
+      2-gram (count x gram length) per 1000 chars; ties on count break to
+      the lexicographically LARGEST gram, so the answer is engine-unique.
+    * ``word_rep_permille`` — duplicated-word fraction,
+      1000 * (n_words - n_distinct_words) / n_words.
+    * ``sym_word_permille`` — symbol noise, 1000 * (#'#' + #'...') / n_words.
+    * ``mean_word_len_x1000`` and ``n_words`` — Gopher's length gates.
+    * ``gopher_pass`` — the composite keep/cut verdict.
+
+    100 TB shape: ZERO shuffle — the top-2-gram scan is a run-length pass
+    over the per-row sorted gram array (array_sort + aggregate), entirely
+    inside whole-stage codegen, not an explode + groupBy (which would
+    shuffle every 2-gram of every document).  One narrow projection over
+    one scan, same as text_metrics.
+    """
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = docs.select("doc_id", "text", words.alias("w")).select(
+        "doc_id",
+        "text",
+        "w",
+        F.size("w").alias("nw"),
+        F.size(F.array_distinct("w")).alias("ndw"),
+    )
+    grams = F.when(
+        F.col("nw") >= 2,
+        F.expr("transform(sequence(0, nw - 2), i -> concat(w[i], ' ', w[i+1]))"),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    # run-length scan over the SORTED gram list: longest run == highest
+    # count; update on newrun >= best so equal counts keep the later
+    # (larger) gram — mirrors ORDER BY cnt DESC, gram DESC in the oracle
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("bg"),
+    )
+
+    def step(acc, x):
+        newrun = (
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.when(newrun >= acc["best"], newrun).otherwise(acc["best"]).alias("best"),
+            F.when(newrun >= acc["best"], x).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    top = F.aggregate(F.array_sort(grams), zero, step)
+    scanned = base.select(
+        "doc_id",
+        "text",
+        "nw",
+        "ndw",
+        top["best"].alias("top_gram_n"),
+        top["bg"].alias("top_gram"),
+    )
+    len_chars = F.length("text")
+    n_hash = len_chars - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = F.floor(
+        (len_chars - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    permille = lambda num, den: F.floor(  # noqa: E731 - quality_score idiom
+        F.lit(1000) * num / F.greatest(den, F.lit(1))
+    ).cast("long")
+    dup_pm = permille(F.col("top_gram_n") * F.length("top_gram"), len_chars)
+    rep_pm = permille(F.col("nw") - F.col("ndw"), F.col("nw"))
+    sym_pm = permille(n_hash + n_ell, F.col("nw"))
+    mwl = permille(nonspace, F.col("nw"))
+    return scanned.select(
+        "doc_id",
+        F.col("nw").cast("long").alias("n_words"),
+        F.col("ndw").cast("long").alias("n_distinct_words"),
+        "top_gram",
+        "top_gram_n",
+        dup_pm.alias("dup_2gram_permille"),
+        rep_pm.alias("word_rep_permille"),
+        sym_pm.alias("sym_word_permille"),
+        mwl.alias("mean_word_len_x1000"),
+        (
+            F.col("nw").between(min_words, max_words)
+            & mwl.between(3000, 10_000)
+            & (sym_pm < 100)
+            & (dup_pm < 200)
+            & (rep_pm < 300)
+        ).alias("gopher_pass"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates_permille: dict[str, int],
@@ -1103,9 +1210,8 @@ def ann_index_write(
     repeated queries against a stored index skip that entirely — the
     bucket partition column turns the probe set into PartitionFilters, so
     non-probed buckets are never even listed, let alone read (asserted on
-    the physical plan in tests/test_pipeline_extras.py).  The same pattern
-    persists an IVF index: assign once with _ivf_assign_udf, write
-    partitioned by cluster, filter on ivf_probes at query time."""
+    the physical plan in tests/test_pipeline_extras.py).
+    ann_ivf_index_write below is the same pattern for the IVF family."""
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"]) if first else 0
     planes = _rademacher_planes(n_planes, dim, seed=42)
@@ -1113,6 +1219,47 @@ def ann_index_write(
     emb.withColumn("bucket", _bucket_expr(q, planes)).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(path)
+
+
+def ann_ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the IVF index (the twin ann_index_write's docstring
+    promises): assign every vector to its integer-grid cluster ONCE and
+    write the table PARTITIONED BY cluster.  Returns the (quantized)
+    centroid matrix — the query-time half needs only this tiny array, not
+    the table.  Repeated queries then prune to the probed clusters via
+    PartitionFilters: non-probed clusters are never listed, let alone
+    scanned or assigned."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_clusters)
+    cq = quantize_centroids(np.asarray(centroids, dtype=np.float64))
+    assign = _ivf_assign_udf(cq)
+    emb.withColumn("cluster", assign(F.col("embedding"))).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path)
+    return cq
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    path: str,
+    cq: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted ann_ivf_index_write index: the probe set
+    comes from the centroid matrix alone (driver-side, exact int64), and
+    the scan prunes to those cluster partitions — no assignment UDF over
+    the table, no full scan, zero Python in the plan."""
+    probes = ivf_probes(cq, query_vec, n_probe)
+    idx = spark.read.parquet(path)
+    candidates = idx.filter(F.col("cluster").isin(probes)).drop("cluster")
+    return ann_brute_force_topk(candidates, query_vec, k)
 
 
 def ann_lsh_topk_indexed(

@@ -204,3 +204,68 @@ def test_read_path_repair_is_conservative(spark, blocks_dir):
     compact_blocks(spark, bdir, target_bytes=1 << 30)
     assert not os.path.exists(ghost + ".inprogress")
     assert not os.path.exists(ghost + ".srcs.json")
+
+
+def test_compact_preserves_chunk_stats_and_bloom(spark, tmp_path):
+    """Round-4: per-chunk metadata survives compaction byte-for-byte —
+    both the stat_min/stat_max zone maps and the generic-codec bloom
+    bitsets — and both prune paths still return exact rows at the same
+    selectivity on the compacted table."""
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned,
+        decode_df_pruned_eq,
+        encode_df,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 911).alias("v")
+    )
+    kinds = {"k": "int", "v": "int"}
+    bdir = str(tmp_path / "gc_blocks")
+    # repartition by part_id so the write lands as several files (AQE
+    # otherwise coalesces this tiny blocks table into one file and
+    # compaction has nothing to merge); generic blocks decode groups by
+    # part_id values, so file layout is free to choose
+    encode_df(df, "k", kinds, n_parts=8, partitioning="range").repartition(
+        4, "part_id"
+    ).write.parquet(bdir)
+
+    def meta_map(blocks):
+        return {
+            (r["part_id"], r["column"]): (
+                r["stat_min"],
+                r["stat_max"],
+                None if r["bloom"] is None else bytes(r["bloom"]),
+            )
+            for r in blocks.select(
+                "part_id", "column", "stat_min", "stat_max", "bloom"
+            ).collect()
+        }
+
+    before = meta_map(spark.read.parquet(bdir))
+    n_files_before = len(list_input_files(bdir))
+    stats = compact_blocks(spark, bdir, target_bytes=1 << 30)
+    assert stats["files_removed"] >= 2
+    assert len(list_input_files(bdir)) < n_files_before
+    blocks = spark.read.parquet(bdir)
+    assert meta_map(blocks) == before  # stats AND bitsets byte-identical
+
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    # range prune on the compacted table: exact rows
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "k", 500, 900)
+    got = sorted(
+        tuple(r) for r in dec.filter(F.col("k").between(500, 900)).collect()
+    )
+    exp = sorted(tuple(r) for r in df.filter(F.col("k").between(500, 900)).collect())
+    assert got == exp
+    # same selectivity as pre-compaction (stats rows intact per part)
+    kept = blocks.filter(
+        (F.col("column") == "k") & (F.col("stat_max") >= 500) & (F.col("stat_min") <= 900)
+    ).count()
+    assert kept < blocks.filter(F.col("column") == "k").count()
+    # bloom point lookup on the compacted table: exact rows
+    dec_eq = decode_df_pruned_eq(blocks, "k", kinds, out_schema, "k", 12_345)
+    got_eq = sorted(tuple(r) for r in dec_eq.filter(F.col("k") == 12_345).collect())
+    exp_eq = sorted(tuple(r) for r in df.filter(F.col("k") == 12_345).collect())
+    assert got_eq == exp_eq and len(got_eq) == 1

@@ -275,3 +275,100 @@ def test_ann_indexed_matches_and_prunes(spark, tmp_path):
     # pass eliminated)
     assert "EvalPython" not in plan
     assert "bucket#" in plan or "bucket IN" in plan
+
+
+def test_ann_ivf_indexed_matches_and_prunes(spark, tmp_path):
+    """Persisted IVF index (round 4, parity with the LSH index): same
+    top-k as the one-shot ann_ivf_topk, probe set pruned at the scan via
+    the cluster PARTITION column, zero Python in the query-time plan."""
+    from parquet_python_spark.operators.pipeline_ops import (
+        ann_ivf_index_write,
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    path = str(tmp_path / "ivf_idx")
+    centroids = train_ivf_centroids(emb, n_clusters=16)
+    cq = ann_ivf_index_write(emb, path, centroids=centroids)
+
+    direct = [
+        r["vec_id"]
+        for r in ann_ivf_topk(emb, qvec, k=10, centroids=centroids)
+        .select("vec_id")
+        .collect()
+    ]
+    indexed_df = ann_ivf_topk_indexed(spark, path, cq, qvec, k=10)
+    indexed = [r["vec_id"] for r in indexed_df.select("vec_id").collect()]
+    assert indexed == direct and len(indexed) == 10
+
+    plan = indexed_df._sc._jvm.PythonSQLUtils.explainString(
+        indexed_df._jdf.queryExecution(), "formatted"
+    )
+    # probes land in PartitionFilters (non-probed clusters never listed);
+    # the assignment UDF is gone from the query-time plan entirely
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert "EvalPython" not in plan
+
+
+def test_gopher_quality_exact_python_oracle(spark):
+    """gopher_quality vs an exact per-doc python re-derivation, including
+    the top-2-gram tie-break (max count, then lexicographically largest
+    gram) and the no-gram / single-word / empty edge cases."""
+    from parquet_python_spark.operators.pipeline_ops import gopher_quality
+
+    texts = [
+        "the cat sat on the cat sat mat",       # repeated 2-gram "the cat"/"cat sat"
+        "a a a a a a",                           # one word repeated: rep ratio ~1
+        "word",                                  # single word: no grams
+        "",                                      # empty text
+        "x y x y x y x y",                       # alternating: "x y" dominates
+        "alpha beta gamma delta epsilon",        # all distinct
+        "tie tie bar bar",                       # count tie between "tie tie"/"bar bar"... 
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(df, min_words=2).collect()}
+
+    import math
+
+    for i, t in enumerate(texts):
+        w = [x for x in t.split(" ") if x]
+        grams = [f"{w[j]} {w[j+1]}" for j in range(len(w) - 1)]
+        if grams:
+            from collections import Counter
+
+            c = Counter(grams)
+            best = max(c.items(), key=lambda kv: (kv[1], kv[0]))
+            top_gram, top_n = best[0], best[1]
+        else:
+            top_gram, top_n = "", 0
+        nw, ndw = len(w), len(set(w))
+        lc = len(t)
+        exp = {
+            "n_words": nw,
+            "n_distinct_words": ndw,
+            "top_gram": top_gram,
+            "top_gram_n": top_n,
+            "dup_2gram_permille": math.floor(1000 * top_n * len(top_gram) / max(lc, 1)),
+            "word_rep_permille": math.floor(1000 * (nw - ndw) / max(nw, 1)),
+            "sym_word_permille": 0,
+            "mean_word_len_x1000": math.floor(
+                1000 * len(t.replace(" ", "")) / max(nw, 1)
+            ),
+        }
+        for k, v in exp.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+    # symbol counting: '#' chars and non-overlapping '...' runs
+    df2 = spark.createDataFrame(
+        [(0, "x ## y ... z ....")], "doc_id long, text string"
+    )
+    r = gopher_quality(df2, min_words=1).collect()[0]
+    # 2 hashes + 2 ellipses ('....' contains one non-overlapping '...');
+    # 6 whitespace words
+    assert r["n_words"] == 6
+    assert r["sym_word_permille"] == math.floor(1000 * 4 / 6)

@@ -180,3 +180,89 @@ def test_bloom_pruned_equality_roundtrip(spark):
         and (r["bloom"] is None or bloom_might_contain(bytes(r["bloom"]), value))
     ]
     assert len(admitted) < len(meta), (len(admitted), len(meta))
+
+
+def test_bloom_prune_is_executor_side():
+    """The driver must never hold bloom bitsets: the membership test runs
+    in a pandas UDF over the metadata rows, and the only driver-visible
+    artifact is the broadcast part_id set.  Structural guard: no .collect(
+    anywhere in decode_df_pruned_eq."""
+    import inspect
+
+    from parquet_python_spark.operators.generic_codec import decode_df_pruned_eq
+
+    src = inspect.getsource(decode_df_pruned_eq)
+    assert ".collect(" not in src
+    assert "pandas_udf" in src  # membership evaluated executor-side
+
+
+def test_bloom_build_flag_off_and_conservative_decode(spark):
+    """encode_df(build_blooms=False): no bitsets are built, and the eq
+    prune degrades conservatively (keeps partitions, exact rows)."""
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned_eq,
+        encode_df,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 500).alias("v")
+    )
+    kinds = {"k": "int", "v": "int"}
+    blocks = encode_df(df, "k", kinds, n_parts=4, build_blooms=False).cache()
+    assert blocks.filter(F.col("bloom").isNotNull()).count() == 0
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    dec = decode_df_pruned_eq(blocks, "k", kinds, out_schema, "k", 1234)
+    got = sorted(tuple(r) for r in dec.filter(F.col("k") == 1234).collect())
+    exp = sorted(tuple(r) for r in df.filter(F.col("k") == 1234).collect())
+    assert got == exp and len(got) == 1
+    blocks.unpersist()
+
+
+def test_bloom_build_shortcircuit_cases():
+    """Over-cap chunks skip the full sort via the strided lower bound;
+    low-cardinality chunks above the row threshold still build filters."""
+    import numpy as np
+
+    from parquet_python_spark.operators.generic_codec import (
+        BLOOM_MAX_CARD,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    n = 2 * BLOOM_MAX_CARD + 50_000
+    assert bloom_build(np.arange(n)) is None  # unique keys: over cap
+    low = np.arange(n) % 1000  # big chunk, 1000 distinct: filter built
+    blob = bloom_build(low)
+    assert blob is not None
+    assert bloom_might_contain(blob, 999)
+    assert not bloom_might_contain(blob, 10**9 + 7)
+
+
+def test_filtered_blocks_cache_union_consumes_both(spark):
+    """Regression (round-3 ADVICE): a driver query that lazily unions a
+    range round-trip and an eq round-trip must not have the second call
+    evict the first's persisted blocks before the union is collected."""
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.operators.generic_codec import (
+        roundtrip_filtered,
+        roundtrip_filtered_eq,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 700).alias("v")
+    )
+    kinds = {"k": "int", "v": "int"}
+    rng_half = roundtrip_filtered(df, "k", kinds, "k", 100, 200, n_parts=8)
+    eq_half = roundtrip_filtered_eq(df, "k", kinds, "k", 15_000, n_parts=8)
+    got = sorted(tuple(r) for r in rng_half.unionAll(eq_half).collect())
+    exp = sorted(
+        tuple(r)
+        for r in df.filter(
+            ((F.col("k") >= 100) & (F.col("k") <= 200)) | (F.col("k") == 15_000)
+        ).collect()
+    )
+    assert got == exp

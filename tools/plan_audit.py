@@ -36,10 +36,18 @@ def main() -> None:
               "`python tools/plan_audit.py`)\n\n")
     checks: list[tuple[str, bool, str]] = []
 
-    # 1. projection pushdown: scan reads ONLY the selected columns
-    p = _plan(qs["scan_projection"](spark, sf_dir))
-    ok = "n_comment" not in p and "ReadSchema" in p and "n_nationkey" in p
-    checks.append(("scan_projection: ReadSchema pruned to 2 columns", ok, p))
+    # 1. projection pushdown: the scan reads ONLY the referenced columns
+    # (o_orderkey, o_custkey, o_totalprice of the 9-column orders table)
+    p = _plan(qs["scan_project_limit"](spark, sf_dir))
+    ok = (
+        "o_comment" not in p
+        and "o_orderdate" not in p
+        and "ReadSchema" in p
+        and "o_orderkey" in p
+    )
+    checks.append(
+        ("scan_project_limit: ReadSchema pruned to referenced columns", ok, p)
+    )
 
     # 2. filter pushdown reaches the parquet scan
     df = (
@@ -57,9 +65,11 @@ def main() -> None:
     checks.append(("join_customer_nation: BroadcastHashJoin (no shuffle of fact)", ok, p))
 
     # 4. top-k is TakeOrdered, not a global sort
-    p = _plan(qs["limit_topk"](spark, sf_dir))
+    p = _plan(qs["scan_project_limit"](spark, sf_dir))
     ok = "TakeOrderedAndProject" in p
-    checks.append(("limit_topk: TakeOrderedAndProject (no full sort)", ok, p))
+    checks.append(
+        ("scan_project_limit: TakeOrderedAndProject (no full sort)", ok, p)
+    )
 
     # 5. aggregation has a map-side partial stage
     p = _plan(qs["agg_pricing_summary"](spark, sf_dir))
@@ -186,6 +196,34 @@ def main() -> None:
     p = _plan(qs["ann_lsh_topk"](spark, sf_dir))
     ok = "EvalPython" not in p and "CartesianProduct" not in p
     checks.append(("ann_lsh_topk: JVM-only bucket probe", ok, p))
+
+    # 21. Gopher/C4 quality filters: the top-2-gram scan is a per-row
+    # run-length pass (array_sort + aggregate), NOT an explode + groupBy —
+    # zero Python eval, zero shuffle, one scan
+    p = _plan(qs["quality_filters"](spark, sf_dir))
+    n_scans = len(_re.findall(r"\(\d+\) Scan parquet", p))
+    ok = (
+        "EvalPython" not in p
+        and "Exchange hashpartitioning" not in p
+        and n_scans == 1
+    )
+    checks.append(
+        ("quality_filters: JVM-only run-length 2-gram scan, zero shuffles, one scan",
+         ok, p)
+    )
+
+    # 22. bloom point-lookup prune: broadcast left-semi on part_id, and the
+    # bitset membership test stays executor-side (the only Python node in
+    # the plan family is the metadata-sized pandas UDF on the keep branch)
+    p = _plan(qs["rt_lineitem_pruned"](spark, sf_dir))
+    ok = (
+        "LeftSemi" in p
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+    )
+    checks.append(
+        ("rt_lineitem_pruned: broadcast left-semi prune (range + bloom eq)", ok, p)
+    )
 
     n_bad = 0
     for name, ok, plan in checks:
