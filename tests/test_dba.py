@@ -277,3 +277,41 @@ def test_dba_gain_sample_signal():
     rand = [bytes(rng.integers(0, 256, 20, dtype=np.uint8)) for _ in range(2000)]
     lens2, blob2 = _pack(rand)
     assert dba_gain_sample(lens2, blob2) < 0.1
+
+
+def test_dba_block_boundary_foreign_chains():
+    """Foreign wire whose fronts straddle the decoder's column-block
+    boundaries (w=64): prefix chains crossing 64/128 and a deep ~480-byte
+    chain — all inside the vectorized path (pmax <= _DEC_VEC_CAP)."""
+    from parquet_python_spark.codecs.delta_bp import encode_delta_bp
+    from parquet_python_spark.codecs.dba import decode_dba
+
+    def check(prefixes):
+        rng = np.random.default_rng(3)
+        full, blobs = [], []
+        prev = b""
+        for p in prefixes:
+            assert p <= len(prev) or p == 0
+            tail = bytes(rng.integers(65, 91, 30, dtype=np.uint8))
+            v = prev[:p] + tail
+            full.append(v)
+            blobs.append(v[p:])
+            prev = v
+        prefix = np.array(prefixes, dtype=np.int64)
+        sl = np.array([len(b) for b in blobs], dtype=np.int64)
+        sb = b"".join(blobs)
+        pp, _ = encode_delta_bp(prefix)
+        sp, _ = encode_delta_bp(sl)
+        wire = (
+            len(pp).to_bytes(4, "little") + pp
+            + len(sp).to_bytes(4, "little") + sp
+            + len(sb).to_bytes(8, "little") + sb
+        )
+        out_lens, out_blob = decode_dba(wire, len(prefixes))
+        assert list(out_lens) == [len(v) for v in full], prefixes
+        assert out_blob == b"".join(full), prefixes
+
+    check([0, 30, 60, 64, 90, 94])          # crosses the first 64-block
+    check([0, 30, 60, 90, 120, 128, 150])   # crosses two blocks
+    check([0] + list(range(30, 480, 30)))   # deep chain, still vectorized
+    check([0, 30, 0, 30, 15])               # prefix resets mid-chain

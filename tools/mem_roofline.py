@@ -111,10 +111,10 @@ def main() -> None:
     copy_scale = rows[-1][1] / rows[1][1] if len(rows) >= 3 else float("nan")
     triad_scale = rows[-1][2] / rows[1][2] if len(rows) >= 3 else float("nan")
 
-    def _engine_pair_note() -> str:
+    def _engine_pair_note(key: str = "8->32") -> str:
         try:
             with open(os.path.join(repo, "BENCH", "scaling.json")) as f:
-                pair = json.load(f)["pair_efficiencies"]["8->32"]
+                pair = json.load(f)["pair_efficiencies"][key]
             return f": encode {pair['encode']}, decode {pair['decode']}"
         except Exception:  # noqa: BLE001 - scaling.json optional
             return ""
@@ -138,7 +138,8 @@ def main() -> None:
         "ABOVE that ceiling.  The host's memory system, not the",
         "engine, is what stops the wide pair; a real N vs 4N *executor*",
         "cluster adds memory channels with the cores, which the",
-        "low-contention 2->8 pair (>= 0.9 both directions) approximates.",
+        f"low-contention 2->8 pair (measured{_engine_pair_note('2->8')}) "
+        "approximates.",
         "",
         "Engine kernels' conservative lower-bound traffic (compressed bytes",
         "+ int32 output + one Arrow hand-off only) at the measured",
