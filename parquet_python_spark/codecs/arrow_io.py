@@ -120,19 +120,24 @@ def encode_str_column(arr, codec: str | None = None):
         indices = d.indices.to_numpy(zero_copy_only=False)
         u_lens, u_blob = string_array_lens_blob(d.dictionary)
         use_dlba = codec == "dict_dlba"
+        lens_payload = None
         if forced is None and not use_dlba:
             # auto page form: PLAIN uniques (the reference-parity
             # PLAIN_DICTIONARY page) vs the DLBA uniques page — decided by
             # actual encoded size (uniques are a small set, the trial is
-            # one cheap delta_bp of the lengths).  A caller-forced "dict"
-            # stays on the reference-parity page.
+            # one cheap delta_bp of the lengths, reused for the real wire
+            # when DLBA wins).  A caller-forced "dict" stays on the
+            # reference-parity page.
             from .delta_bp import encode_delta_bp
 
-            dlba_page = 8 + len(encode_delta_bp(u_lens)[0]) + 8 + len(u_blob)
+            lens_payload, _ = encode_delta_bp(u_lens)
+            dlba_page = 8 + len(lens_payload) + 8 + len(u_blob)
             plain_page = 4 + 4 * len(u_lens) + len(u_blob)
             use_dlba = dlba_page < plain_page
         if use_dlba:
-            payload = encode_dict_dlba_wire(indices, u_lens, u_blob)
+            payload = encode_dict_dlba_wire(
+                indices, u_lens, u_blob, lens_payload
+            )
             return "dict_dlba", {"ptype": "byte_array"}, payload
         uniques = [
             (u if isinstance(u, bytes) else u.encode()) for u in d.dictionary.to_pylist()

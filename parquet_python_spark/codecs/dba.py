@@ -79,8 +79,11 @@ def common_prefix_lens(
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     # int32 index matrix when the blob allows it: halves the gather's
-    # index traffic (chunks are bounded well under 2 GiB in practice)
-    idx_dt = np.int32 if len(u8) < 2**31 else np.int64
+    # index traffic (chunks are bounded well under 2 GiB in practice).
+    # The gate includes +cap headroom: start + pos is computed BEFORE the
+    # clip, so a blob within cap bytes of 2^31 would wrap the int32 add
+    # negative and gather garbage (silent wrong prefixes on valid input)
+    idx_dt = np.int32 if len(u8) + cap <= 2**31 - 1 else np.int64
     pos = np.arange(cap, dtype=idx_dt)
     idx = starts.astype(idx_dt)[:, None] + pos[None, :]
     # clipped gather: positions past a value's end are masked by maxcmp
@@ -161,6 +164,17 @@ def decode_dba(data: bytes, n: int) -> tuple[np.ndarray, bytes]:
     if (prefix < 0).any() or (slens < 0).any():
         raise ValueError("delta_byte_array: negative length section")
     out_lens = prefix + slens
+    # loud-fail on the remaining corruption classes instead of silently
+    # decoding fabricated bytes: a prefix can never exceed the previous
+    # value's length, and the suffix sections must cover the blob exactly
+    if n > 1 and (prefix[1:] > out_lens[:-1]).any():
+        raise ValueError(
+            "delta_byte_array: prefix exceeds previous value length"
+        )
+    if int(slens.sum()) != len(sbuf):
+        raise ValueError(
+            "delta_byte_array: suffix blob size does not match lengths"
+        )
     pmax = int(prefix.max())
     if pmax == 0:  # no sharing anywhere: the suffix blob IS the data
         return out_lens, sbuf.tobytes()
@@ -190,7 +204,6 @@ def decode_dba(data: bytes, n: int) -> tuple[np.ndarray, bytes]:
     # block replaces a per-column Python loop, while the block width
     # bounds the (n, w) temporaries for foreign wide-front wire.
     rows = np.arange(n, dtype=np.int64)
-    front = np.empty((n, pmax), dtype=np.uint8)
     max_idx = max(len(sbuf) - 1, 0)
     sbuf_safe = sbuf if len(sbuf) else np.zeros(1, dtype=np.uint8)
     for j0 in range(0, pmax, PREFIX_CAP):
@@ -199,14 +212,15 @@ def decode_dba(data: bytes, n: int) -> tuple[np.ndarray, bytes]:
         src = np.where(prefix[:, None] <= pos_blk[None, :], rows[:, None], 0)
         np.maximum.accumulate(src, axis=0, out=src)
         byte_idx = s_starts[src] + (pos_blk[None, :] - prefix[src])
-        # rows with j >= out_lens[i] hold garbage (clamped reads) — they
-        # are never scattered below because the mask is j < prefix[i]
+        # entries with j >= prefix[i] hold garbage (clamped reads) — they
+        # are never scattered: the mask below is j < prefix[i]
         np.clip(byte_idx, 0, max_idx, out=byte_idx)
-        front[:, j0 : j0 + w] = sbuf_safe[byte_idx]
-    pos_grid = np.arange(pmax, dtype=np.int64)
-    mask = pos_grid[None, :] < prefix[:, None]
-    tgt = out_starts[:, None] + pos_grid[None, :]
-    out[tgt[mask]] = front[mask]
+        # scatter INSIDE the block so every temporary stays (n, w<=64) —
+        # a whole-front (n, pmax) mask/target pair would defeat the block
+        # bounding for foreign wide-front wire (pmax up to _DEC_VEC_CAP)
+        mask_blk = pos_blk[None, :] < prefix[:, None]
+        tgt_blk = out_starts[:, None] + pos_blk[None, :]
+        out[tgt_blk[mask_blk]] = sbuf_safe[byte_idx][mask_blk]
     # suffix bytes land consecutively at out_start + prefix per row
     if len(sbuf):
         stgt = np.repeat(out_starts + prefix, slens) + (

@@ -148,7 +148,10 @@ def decode_dict(data: bytes, n: int, physical_type: str = "int32"):
 
 
 def encode_dict_dlba_wire(
-    codes: np.ndarray, lens: np.ndarray, blob: bytes
+    codes: np.ndarray,
+    lens: np.ndarray,
+    blob: bytes,
+    lens_payload: bytes | None = None,
 ) -> bytes:
     """String dictionary with the uniques page in DELTA_LENGTH_BYTE_ARRAY
     form (lengths as DELTA_BINARY_PACKED + concatenated bytes) instead of
@@ -161,10 +164,11 @@ def encode_dict_dlba_wire(
         [8B <u64 dict blob size][dict blob]
         [1B bit width][RLE/bit-packed hybrid of indices]
     """
-    from .delta_bp import encode_delta_bp
-
     n_dict = len(lens)
-    lens_payload, _ = encode_delta_bp(np.asarray(lens, dtype=np.int64))
+    if lens_payload is None:  # callers may pass the size-trial's payload
+        from .delta_bp import encode_delta_bp
+
+        lens_payload, _ = encode_delta_bp(np.asarray(lens, dtype=np.int64))
     width = width_from_max_int(max(n_dict - 1, 0))
     index_page = encode_hybrid(np.asarray(codes), width)
     return b"".join(

@@ -188,14 +188,16 @@ def decode_plain_byte_array(data: bytes, count: int) -> list[bytes]:
 
     The length scan is inherently sequential (each record's position
     depends on the previous record's length — self-delimiting wire), but
-    it touches only 4-byte ints; the payload extraction is one vectorized
-    masked gather and the values materialize through the same Arrow
-    buffer constructor as the Spark hot path (arrow_io), not per-value
-    slicing.  Non-hot regardless: the Spark path stores strings in the
-    lens+blob layout and never parses this interleaved wire."""
+    it touches only 4-byte ints; the payload extraction is one ragged
+    gather (dba._ragged_gather, the shared repeat+arange kernel) and the
+    values materialize through the same Arrow buffer constructor as the
+    Spark hot path (arrow_io), not per-value slicing.  Non-hot
+    regardless: the Spark path stores strings in the lens+blob layout
+    and never parses this interleaved wire."""
     if count == 0:
         return []
     from .arrow_io import string_array_from_lens_blob
+    from .dba import _ragged_gather
 
     mv = memoryview(data)
     lens = np.empty(count, dtype=np.int64)
@@ -208,10 +210,9 @@ def decode_plain_byte_array(data: bytes, count: int) -> list[bytes]:
     starts = np.zeros(count, dtype=np.int64)
     np.cumsum(lens[:-1] + 4, out=starts[1:])
     raw = np.frombuffer(mv, dtype=np.uint8, count=total)
-    mask = np.ones(total, dtype=bool)
-    mask[(starts[:, None] + np.arange(4)).ravel()] = False
+    blob = _ragged_gather(raw, starts + 4, lens)
     arr = string_array_from_lens_blob(
-        lens, raw[mask].tobytes(), binary=True, allow_large=True
+        lens, blob.tobytes(), binary=True, allow_large=True
     )
     return arr.to_pylist()
 

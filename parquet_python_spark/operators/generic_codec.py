@@ -127,11 +127,13 @@ def bloom_build(vals: np.ndarray) -> bytes | None:
     vals = np.asarray(vals, dtype=np.int64)
     if len(vals) > 2 * BLOOM_MAX_CARD:
         # cheap exact short-circuit before the full O(n log n) unique:
-        # distinct(any subset) <= distinct(all), so a strided half-sample
-        # already exceeding the cap proves the chunk is over it — the
-        # common case for unique-key columns, which otherwise pay the
-        # full sort just to learn "no filter"
-        if len(np.unique(vals[::2])) > BLOOM_MAX_CARD:
+        # distinct(any subset) <= distinct(all), so a BOUNDED strided
+        # sample (cap+1 elements — O(cap log cap) regardless of n, not a
+        # half-size sort) already exceeding the cap proves the chunk is
+        # over it — the common case for unique-key columns, which
+        # otherwise pay the full sort just to learn "no filter"
+        stride = max(1, len(vals) // (BLOOM_MAX_CARD + 1))
+        if len(np.unique(vals[::stride][: BLOOM_MAX_CARD + 1])) > BLOOM_MAX_CARD:
             return None
     uniq = np.unique(vals)
     if len(uniq) == 0 or len(uniq) > BLOOM_MAX_CARD:
@@ -167,11 +169,18 @@ def bloom_might_contain(blob: bytes, value: int) -> bool:
     return True
 
 # bounded cache registry for roundtrip_filtered{,_eq}'s persisted blocks.
-# Two slots, not one: a single driver query may lazily hold TWO filtered
-# round-trips at once (rt_lineitem_pruned unions the range and eq halves),
-# and a single-slot eager unpersist would evict the sibling's blocks before
-# the union is consumed — correct only by accidental recompute, 2x the work.
-_FILTERED_BLOCKS_KEEP = 2
+# More than one slot because a single driver query may lazily hold SEVERAL
+# filtered round-trips at once (rt_lineitem_pruned unions the range and eq
+# halves), and a single-slot eager unpersist would evict a sibling's blocks
+# before the union is consumed — correct only by accidental recompute, 2x
+# the work.  INVARIANT for composed queries: a lazy plan may reference at
+# most _FILTERED_BLOCKS_KEEP filtered round-trips; evicting past the bound
+# only costs recompute (results stay exact — encode_df is deterministic),
+# so the bound is headroom, not a correctness line.  Spark offers no
+# consumption callback for DataFrames, so eviction-by-recency is the
+# available policy; a persistent deployment stores blocks in a table and
+# has no cache to manage.
+_FILTERED_BLOCKS_KEEP = 4
 _filtered_blocks_cache: list = []
 
 
@@ -629,10 +638,10 @@ def roundtrip_filtered(
     The blocks DataFrame is persisted across its two consumers (the stats
     scan and the pruned decode) — without it the whole Arrow encode stage
     would execute twice.  The cache is released as newer calls come in
-    (module-level two-slot registry — see _retain_filtered_blocks),
-    bounding the session to two retained encodes instead of one per call.
-    In a persistent deployment the blocks live in a parquet/Iceberg table
-    instead and the stats filter prunes at the scan."""
+    (module-level bounded registry — see _retain_filtered_blocks),
+    holding the last _FILTERED_BLOCKS_KEEP encodes instead of one per
+    call.  In a persistent deployment the blocks live in a parquet/
+    Iceberg table instead and the stats filter prunes at the scan."""
     from pyspark import StorageLevel
 
     cols = list(col_kinds)
