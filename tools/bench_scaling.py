@@ -437,6 +437,16 @@ enc_bytes <= reference RLE/dict bytes on every partition — asserted by
 `tests/test_engine_spark.py::test_size_gate_vs_reference_dict` and
 `tests/test_codecs.py::test_size_gate_vs_reference_rle_dict` on every run.
 """
+    # preserve the measured memory-roofline section (owned by
+    # tools/mem_roofline.py) across rewrites instead of dropping it
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        marker = "## Measured memory-bandwidth roofline"
+        if marker in old:
+            md = md + "\n" + old[old.index(marker):]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
 
