@@ -58,11 +58,27 @@ def test_runny_rle_roundtrip(vals):
 
 @SET
 @given(st.lists(st.text(max_size=40), min_size=0, max_size=200),
-       st.sampled_from(["str_plain", "str_fsst", "dict"]))
+       st.sampled_from(["str_plain", "str_fsst", "dict", "str_dlba",
+                        "str_dba", "dict_dlba"]))
 def test_str_roundtrip(strings, codec):
     c, params, payload, _ = encode_column(strings, "str", codec=codec)
     out = decode_column(c, payload, len(strings), params, "str")
     assert [b.decode() for b in out] == strings
+
+
+@given(st.lists(st.binary(max_size=200), min_size=0, max_size=300))
+def test_dba_wire_roundtrip_binary(vals):
+    """DELTA_BYTE_ARRAY over arbitrary binary values (any shared-prefix
+    structure, empties, long runs) — encode/decode is the identity."""
+    import numpy as np
+
+    from parquet_python_spark.codecs.dba import decode_dba, encode_dba
+
+    lens = np.array([len(b) for b in vals], dtype=np.int64)
+    blob = b"".join(vals)
+    _, payload = encode_dba(lens, blob)
+    out_lens, out_blob = decode_dba(payload, len(vals))
+    assert np.array_equal(out_lens, lens) and out_blob == blob
 
 
 @SET
