@@ -32,6 +32,105 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------- dedup connected components
+
+def dedup_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup candidate-pair graph — the
+    clustering stage between pair generation (MinHash/SimHash/Jaccard
+    banding) and canonical-document selection: transitive closure turns
+    "A~B, B~C" into one cluster so exactly one survivor is kept per
+    near-dup GROUP, not per pair.
+
+    Algorithm: iterative min-label propagation with POINTER JUMPING
+    (comp(u) <- min over {comp(u)} ∪ {comp(v): v ~ u} ∪ {comp(comp(u))}).
+    The pointer-jump halves the label-chain depth each round, so rounds =
+    O(log n) even on path graphs (hash-to-min family, Rastogi et al.
+    "Finding Connected Components in MapReduce", 2012 — public
+    literature), instead of O(diameter) for plain propagation.  Each
+    round is two equi-joins + one min-aggregate — all shuffles on node
+    ids, no cartesian anywhere; localCheckpoint every round cuts the
+    iterative plan's lineage (otherwise the DAG doubles per round and
+    planning, not compute, becomes the bottleneck).  Convergence is
+    detected with a metadata-sized changed-rows count; components are
+    labeled by their MIN member id, so the output is deterministic.
+
+    100 TB shape: candidate pairs out of banding are piece-scale (bounded
+    per band-bucket), never all-pairs; each round's state is one
+    (node, comp) row per distinct node.  Returns (doc_id, component_id).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # neighbor relax: comp(u) <- min(comp(u), min over comp(v), v~u)
+        via_edges = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "comp")
+        )
+        relaxed = (
+            labels.unionByName(via_edges)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp(u) <- min(comp(u), comp(comp(u)))
+        hop = relaxed.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
+        jumped = (
+            relaxed.join(hop, relaxed["comp"] == hop["jnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end cluster dedup: component-label the candidate pairs, keep
+    ONE canonical document (the min id) per component, and pass through
+    every document that appears in no near-dup pair.  The components join
+    is on the id key (near-dup nodes are a small fraction of the corpus,
+    so the join's build side is piece-scale)."""
+    comps = dedup_components(pairs)
+    labeled = docs.join(
+        comps.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn(
+        "component_id", F.coalesce(F.col("component_id"), F.col(id_col))
+    )
+    return labeled.withColumn(
+        "keep", F.col(id_col) == F.col("component_id")
+    )
+
+
 # ------------------------------------------------------- minhash LSH dedup
 
 # MinHash arithmetic constants, shared verbatim by the numpy kernel, the

@@ -372,3 +372,106 @@ def test_gopher_quality_exact_python_oracle(spark):
     # 6 whitespace words
     assert r["n_words"] == 6
     assert r["sym_word_permille"] == math.floor(1000 * 4 / 6)
+
+
+def _union_find_components(pairs):
+    """Exact python union-find oracle: {node: min-id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for x in list(parent):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(members) for r, members in comp.items() for x in members}
+
+
+def test_dedup_components_matches_union_find(spark):
+    """Random candidate graph vs exact union-find, including singleton
+    chains and merged clusters."""
+    import numpy as np
+
+    from parquet_python_spark.operators.pipeline_ops import dedup_components
+
+    rng = np.random.default_rng(23)
+    pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, 400, size=(300, 2))
+        if a != b
+    }
+    df = spark.createDataFrame(
+        sorted(pairs), "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_components(df).collect()
+    }
+    assert got == _union_find_components(sorted(pairs))
+
+
+def test_dedup_components_path_graph_log_rounds(spark):
+    """Worst case for plain propagation: one long path. Pointer jumping
+    must label the whole chain with the min id within max_iters=O(log n)
+    rounds (plain propagation would need n rounds and hit the cap)."""
+    from parquet_python_spark.operators.pipeline_ops import dedup_components
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    out = dedup_components(df, max_iters=15).collect()
+    assert len(out) == n + 1
+    assert all(r["component_id"] == 0 for r in out)
+
+
+def test_dedup_keep_canonical_end_to_end(spark):
+    """docs + candidate pairs -> one keep=True per component (its min id),
+    and untouched docs keep themselves."""
+    from parquet_python_spark.operators.pipeline_ops import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (7, 8)], "doc_a long, doc_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_keep_canonical(docs, pairs).collect()}
+    assert rows[1]["component_id"] == 1 and rows[1]["keep"]
+    assert rows[3]["component_id"] == 1 and not rows[3]["keep"]
+    assert rows[5]["component_id"] == 1 and not rows[5]["keep"]
+    assert rows[7]["keep"] and not rows[8]["keep"]
+    assert rows[8]["component_id"] == 7
+    for i in (0, 2, 4, 6, 9):  # non-candidates pass through, keep=True
+        assert rows[i]["keep"] and rows[i]["component_id"] == i
+
+
+def test_dedup_components_with_minhash_candidates(spark):
+    """Integration: MinHash banding candidates on the real documents
+    table, clustered, vs union-find of the same pairs."""
+    from parquet_python_spark.operators.pipeline_ops import (
+        dedup_components,
+        dedup_minhash_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cand = dedup_minhash_candidates(docs).select("doc_a", "doc_b")
+    pairs = [(r["doc_a"], r["doc_b"]) for r in cand.collect()]
+    if not pairs:
+        import pytest as _pytest
+
+        _pytest.skip("no candidates at this sf")
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup_components(cand).collect()
+    }
+    assert got == _union_find_components(pairs)
