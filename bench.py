@@ -131,9 +131,13 @@ def main() -> None:
         # workload change, not a scale-up of the same workload).
         # Ratios land in extras as sf1_scale_<q>; ~10 means linear.
         if os.environ.get("BENCH_SF1", "1") != "0":
-            # same best-of-N protocol as the sf0.1 section: a single-shot
-            # sf1 pass would land any host stall untrimmed in the numerator
-            # and fake a super-linear sf1_scale_* ratio
+            # same best-of-N protocol as the sf0.1 section, with one extra
+            # repeat: sf1 is the PRIMARY gate, and this host's phase noise
+            # (occasional 2-3x stalls) needs more best-of samples to hold
+            # the per-query band near 10%; a single-shot sf1 pass would
+            # land any host stall untrimmed in the numerator and fake a
+            # super-linear sf1_scale_* ratio
+            sf1_repeats = max(repeats, 3)
             sf1_queries: dict[str, float] = {}
 
             def best(name: str, dt: float) -> None:
@@ -144,7 +148,7 @@ def main() -> None:
             n_tokens10 = (
                 spark.read.parquet(tokens10).agg(F.sum("n_tok")).collect()[0][0]
             )
-            for r in range(repeats):
+            for r in range(sf1_repeats):
                 enc10 = os.path.join(workdir, f"enc10_{r}")
                 t0 = time.perf_counter()
                 encode_job(spark, tokens10, enc10)
@@ -187,7 +191,7 @@ def main() -> None:
                     for d in reps[1:]:
                         out10 = out10.unionAll(d)
                 out10.write.parquet(f"{sf1_dir}/{tbl}.parquet")
-            for r in range(repeats):
+            for r in range(sf1_repeats):
                 for name in [
                     "rt_lineitem_ints",
                     "rt_documents_auto",
