@@ -256,7 +256,11 @@ def _rt_region_nation_supplier(spark, sf_dir):
 
 def _rt_documents_nulls(spark, sf_dir):
     # definition-level null weave (reference __init__.py:295-317,336-338):
-    # inject a deterministic null pattern, round-trip it bit-identically
+    # inject a deterministic null pattern, round-trip it bit-identically.
+    # Forced DATA_PAGE_V2 framing + LZ4_RAW page compression (both beyond
+    # the reference, which reads V1 pages only and raises on lz4,
+    # __init__.py:234-236,273-378): levels stay uncompressed ahead of the
+    # data section with num_rows/num_nulls in the page header.
     from parquet_python_spark.operators.generic_codec import roundtrip
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -265,7 +269,8 @@ def _rt_documents_nulls(spark, sf_dir):
         F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(F.col("n_chars")).alias("chars_n"),
     )
     return roundtrip(
-        docs, "doc_id", {"doc_id": "int", "lang_n": "str", "chars_n": "int"}
+        docs, "doc_id", {"doc_id": "int", "lang_n": "str", "chars_n": "int"},
+        page="v2", outer="lz4_raw",
     )
 
 

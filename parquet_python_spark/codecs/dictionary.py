@@ -186,19 +186,38 @@ def encode_dict_dlba_wire(
 
 def decode_dict_dlba_parts(data: bytes, n: int):
     """Parse the dict-of-DLBA wire into ((uniq_lens, uniq_blob), indices)
-    without expanding — callers gather with pyarrow take()."""
+    without expanding — callers gather with pyarrow take().
+
+    Loud-fails on corrupt/foreign wire (mirrors decode_dba's checks):
+    negative dictionary count, negative lengths, a lengths-sum that does
+    not match the blob size, or an index width wider than any legal
+    dictionary — each would otherwise decode to fabricated strings."""
     from .delta_bp import decode_delta_bp
 
     mv = memoryview(data)
     n_dict = int.from_bytes(mv[:4], "little", signed=True)
+    if n_dict < 0:
+        raise ValueError("dict_dlba: negative dictionary count")
     l_sz = int.from_bytes(mv[4:8], "little")
     lens = decode_delta_bp(bytes(mv[8 : 8 + l_sz]), n_dict)
     pos = 8 + l_sz
     blob_n = int.from_bytes(mv[pos : pos + 8], "little")
     pos += 8
+    if blob_n > len(mv) - pos:
+        raise ValueError("dict_dlba: blob size exceeds payload")
+    if n_dict and (np.asarray(lens) < 0).any():
+        raise ValueError("dict_dlba: negative dictionary value length")
+    if int(np.asarray(lens).sum()) != blob_n:
+        raise ValueError(
+            "dict_dlba: dictionary lengths do not match blob size"
+        )
     blob = bytes(mv[pos : pos + blob_n])
     pos += blob_n
     width = data[pos]
+    # indices address the dictionary: width beyond what |dict| needs (and
+    # beyond the 32-bit index space) is corrupt framing, not data
+    if width > max(width_from_max_int(max(n_dict - 1, 0)), 1):
+        raise ValueError("dict_dlba: index width exceeds dictionary size")
     indices = decode_hybrid(
         data[pos + 1 :], width, n, np.int32 if width <= 31 else np.int64
     )

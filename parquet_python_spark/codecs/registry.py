@@ -413,10 +413,12 @@ def wrap_outer(payload: bytes, params: dict, outer: str | None) -> bytes:
         # mtime=0: deterministic output (checkpoint/resume reruns must be
         # byte-identical)
         compressed = gzip.compress(payload, compresslevel=1, mtime=0)
-    elif outer in ("snappy", "zstd"):
+    elif outer in ("snappy", "zstd", "lz4_raw", "brotli"):
         # reference SNAPPY slot (D20, __init__.py:228-229) via pyarrow's
-        # bundled codec (raw snappy format, same as python-snappy); zstd is
-        # the modern extra.  pyarrow needs the raw size back at decompress.
+        # bundled codec (raw snappy format, same as python-snappy); zstd,
+        # LZ4_RAW and BROTLI are the modern-writer extras the reference
+        # raises on (__init__.py:234-236) — all four need the raw size
+        # back at decompress (raw block formats carry no length framing).
         import pyarrow as pa
 
         compressed = bytes(pa.Codec(outer).compress(payload))
@@ -445,7 +447,7 @@ def unwrap_outer(payload: bytes, params: dict) -> bytes:
         import gzip
 
         return gzip.decompress(payload)
-    if outer in ("snappy", "zstd"):
+    if outer in ("snappy", "zstd", "lz4_raw", "brotli"):
         import pyarrow as pa
 
         return bytes(
@@ -454,6 +456,58 @@ def unwrap_outer(payload: bytes, params: dict) -> bytes:
             )
         )
     raise KeyError(f"unknown outer codec {outer}")
+
+
+# ----------------------------------------------------- DATA_PAGE_V2 framing
+
+_PAGE_V2_MAGIC = b"P2"
+
+
+def frame_page_v2(
+    def_blob: bytes | None, data: bytes, n_rows: int, n_nulls: int
+) -> bytes:
+    """Assemble a DATA_PAGE_V2-shaped page: definition levels stored
+    UNCOMPRESSED ahead of the (possibly outer-compressed) data section,
+    with ``num_rows`` / ``num_nulls`` carried in the page header — the
+    Parquet DataPageHeaderV2 layout (public format spec: levels are never
+    inside the compressed region, so a reader can count rows and weave
+    validity without touching the data codec).  The reference reads V1
+    pages only (/root/reference/parquet/__init__.py:273-378); this is the
+    beyond-reference page shape modern writers emit by default.
+
+    Wire: [2B magic "P2"] [4B <u32 n_rows] [4B <u32 n_nulls]
+          [4B <u32 def_len] [def levels, RLE/bit-packed width-1,
+          UNCOMPRESSED] [data section]
+    """
+    def_blob = def_blob or b""
+    return b"".join(
+        [
+            _PAGE_V2_MAGIC,
+            int(n_rows).to_bytes(4, "little"),
+            int(n_nulls).to_bytes(4, "little"),
+            int(len(def_blob)).to_bytes(4, "little"),
+            def_blob,
+            data,
+        ]
+    )
+
+
+def parse_page_v2(buf: bytes) -> tuple[bytes | None, bytes, int, int]:
+    """Inverse of :func:`frame_page_v2`; returns
+    (def_blob | None, data_section, n_rows, n_nulls).  Loud-fails on
+    foreign bytes rather than decoding a fabricated page."""
+    mv = memoryview(buf)
+    if bytes(mv[0:2]) != _PAGE_V2_MAGIC:
+        raise ValueError("page_v2: bad magic")
+    n_rows = int.from_bytes(mv[2:6], "little")
+    n_nulls = int.from_bytes(mv[6:10], "little")
+    def_len = int.from_bytes(mv[10:14], "little")
+    if n_nulls > n_rows or def_len > len(mv) - 14:
+        raise ValueError("page_v2: header lengths exceed payload")
+    if n_nulls and not def_len:
+        raise ValueError("page_v2: nulls declared but no definition levels")
+    def_blob = bytes(mv[14 : 14 + def_len]) if def_len else None
+    return def_blob, bytes(mv[14 + def_len :]), n_rows, n_nulls
 
 
 # ------------------------------------------------------------- public API
@@ -474,7 +528,7 @@ def _trial_compress_len(buf: bytes, outer: str) -> int:
     zstd have very different BSS win margins than deflate, so a zlib proxy
     can mispredict the PLAIN-vs-BSS trial for them).  gzip bodies ARE
     deflate streams, so zlib-1 is the exact proxy for both zlib and gzip."""
-    if outer in ("snappy", "zstd"):
+    if outer in ("snappy", "zstd", "lz4_raw", "brotli"):
         import pyarrow as pa
 
         return len(pa.Codec(outer).compress(buf))

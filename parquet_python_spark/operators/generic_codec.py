@@ -70,6 +70,11 @@ BLOCKS_SCHEMA = T.StructType(
         # range predicates (Parquet's own BloomFilter header analog,
         # parquet.thrift; the reference parses neither)
         T.StructField("bloom", T.BinaryType(), True),
+        # per-PAGE min/max inside the chunk (Parquet ColumnIndex analog):
+        # [4B <u32 page_rows][<q min,<q max per page].  Chunk-level stats
+        # lose selectivity exactly as chunks grow with scale; page stats
+        # let decode skip sub-ranges of a surviving chunk
+        T.StructField("page_stats", T.BinaryType(), True),
     ]
 )
 
@@ -87,6 +92,7 @@ _BLOCKS_ARROW = pa.schema(
         ("stat_min", pa.int64()),
         ("stat_max", pa.int64()),
         ("bloom", pa.binary()),
+        ("page_stats", pa.binary()),
     ]
 )
 
@@ -101,6 +107,56 @@ _NUMERIC_NP = {
 
 # target rows per encode partition; partition count grows with data size
 TARGET_ROWS_PER_PART = 262_144
+
+# rows per page for the sub-chunk zone maps.  A multiple of 8 keeps page
+# boundaries bit-aligned for every legal bit width, so fixed-stride codecs
+# (plain/bitpack/FOR) can decode a surviving page straight out of a payload
+# byte slice
+PAGE_ROWS = 4096
+
+
+def _page_stats_blob(vals: np.ndarray) -> bytes | None:
+    """Per-page (min, max) over chunk-order values; None when the chunk is
+    a single page (chunk-level stats already cover it)."""
+    n = len(vals)
+    if n <= PAGE_ROWS:
+        return None
+    vals = np.asarray(vals, dtype=np.int64)
+    n_pages = -(-n // PAGE_ROWS)
+    mins = np.empty(n_pages, dtype=np.int64)
+    maxs = np.empty(n_pages, dtype=np.int64)
+    full = (n // PAGE_ROWS) * PAGE_ROWS
+    if full:
+        m = vals[:full].reshape(-1, PAGE_ROWS)
+        mins[: full // PAGE_ROWS] = m.min(axis=1)
+        maxs[: full // PAGE_ROWS] = m.max(axis=1)
+    if full < n:
+        mins[-1] = vals[full:].min()
+        maxs[-1] = vals[full:].max()
+    pairs = np.empty((n_pages, 2), dtype="<i8")
+    pairs[:, 0] = mins
+    pairs[:, 1] = maxs
+    return int(PAGE_ROWS).to_bytes(4, "little") + pairs.tobytes()
+
+
+def _page_keep_ranges(
+    blob: bytes, n_rows: int, lo: int, hi: int
+) -> list[tuple[int, int]] | None:
+    """Row ranges whose pages MAY intersect [lo, hi] (merged-contiguous);
+    None means 'keep everything' (no stats or every page survives)."""
+    page_rows = int.from_bytes(blob[:4], "little")
+    stats = np.frombuffer(blob, dtype="<i8", offset=4).reshape(-1, 2)
+    keep = (stats[:, 1] >= lo) & (stats[:, 0] <= hi)
+    if keep.all():
+        return None
+    ranges: list[tuple[int, int]] = []
+    for p in np.flatnonzero(keep):
+        s, e = int(p) * page_rows, min(n_rows, (int(p) + 1) * page_rows)
+        if ranges and ranges[-1][1] == s:
+            ranges[-1] = (ranges[-1][0], e)
+        else:
+            ranges.append((s, e))
+    return ranges
 
 # ------------------------------------------------------- bloom filters
 # Double-hashing Bloom filter over a chunk's DISTINCT int values: h_i =
@@ -210,10 +266,22 @@ def _decode_def_levels(blob: bytes, n_rows: int) -> np.ndarray:
     return decode_hybrid(blob, 1, n_rows).astype(bool)
 
 
-def _encode_values(arr: pa.Array, kind: str, forced: str | None):
+def _encode_values(
+    arr: pa.Array,
+    kind: str,
+    forced: str | None,
+    page: str = "v1",
+    outer: str | None = None,
+):
     """Encode the non-null values of an Arrow array; returns
-    (codec, params_json, payload, n_values) with the validity stream
-    prefixed when nulls are present."""
+    (codec, params_json, payload, n_values).
+
+    page="v1" (default): the reference's DATA_PAGE shape — validity stream
+    length-prefixed INSIDE the payload; an ``outer`` codec wraps the whole
+    page (levels included), exactly V1's compressed-page semantics.
+    page="v2": DATA_PAGE_V2 shape (registry.frame_page_v2) — levels stay
+    uncompressed ahead of the data section, num_rows/num_nulls in the
+    header, and ``outer`` compresses ONLY the data section."""
     n = len(arr)
     has_nulls = arr.null_count > 0
     present = pc.drop_null(arr) if has_nulls else arr
@@ -243,14 +311,38 @@ def _encode_values(arr: pa.Array, kind: str, forced: str | None):
         vals = present.to_numpy(zero_copy_only=False).astype(np_dtype, copy=False)
         codec, params, payload, _ = encode_column(vals, kind, codec=forced)
 
-    if has_nulls:
-        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
-        def_blob = _def_levels_blob(valid)
-        payload = b"".join(
-            [int(len(def_blob)).to_bytes(4, "little"), def_blob, payload]
-        )
-        params = dict(params)
-        params["__nulls__"] = True
+    params = dict(params)
+    if page == "v2":
+        from ..codecs.registry import frame_page_v2, wrap_outer
+
+        def_blob = None
+        if has_nulls:
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            def_blob = _def_levels_blob(valid)
+        if outer:
+            payload = wrap_outer(payload, params, outer)
+        payload = frame_page_v2(def_blob, payload, n, n - len(present))
+        params["__page__"] = "v2"
+    else:
+        if has_nulls:
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            def_blob = _def_levels_blob(valid)
+            payload = b"".join(
+                [int(len(def_blob)).to_bytes(4, "little"), def_blob, payload]
+            )
+            params["__nulls__"] = True
+        if outer:
+            # V1 semantics: the WHOLE page (levels + data) compresses as
+            # one unit.  Separate param keys from the data-section wrap so
+            # decode_column's own unwrap_outer never double-unwraps.
+            from ..codecs.registry import wrap_outer
+
+            tmp: dict = {}
+            payload = wrap_outer(payload, tmp, outer)
+            if "outer" in tmp:
+                params["__pouter__"] = tmp["outer"]
+                if "outer_raw" in tmp:
+                    params["__pouter_raw__"] = tmp["outer_raw"]
     return codec, params_to_json(params), payload, len(present)
 
 
@@ -259,14 +351,40 @@ def _decode_values(
     kind: str,
 ) -> pa.Array:
     """Inverse of _encode_values: decode payload -> typed Arrow array with
-    nulls re-woven from the validity stream (reference __init__.py:336-338)."""
+    nulls re-woven from the validity stream (reference __init__.py:336-338).
+    Handles both page shapes: V1 (validity prefixed inside the payload,
+    whole-page outer wrap) and V2 (registry.parse_page_v2 framing)."""
     params = params_from_json(params_json)
     valid = None
-    if params.pop("__nulls__", False):
-        mv = memoryview(payload)
-        def_sz = int.from_bytes(mv[0:4], "little")
-        valid = _decode_def_levels(bytes(mv[4 : 4 + def_sz]), n_rows)
-        payload = bytes(mv[4 + def_sz :])
+    if params.pop("__page__", None) == "v2":
+        from ..codecs.registry import parse_page_v2, unwrap_outer
+
+        def_blob, payload, hdr_rows, hdr_nulls = parse_page_v2(payload)
+        if hdr_rows != n_rows or hdr_rows - hdr_nulls != n_values:
+            raise ValueError(
+                "page_v2: header counts disagree with block metadata"
+            )
+        if params.get("outer"):
+            payload = unwrap_outer(payload, params)
+            params.pop("outer", None)
+            params.pop("outer_raw", None)
+        if def_blob is not None:
+            valid = _decode_def_levels(def_blob, n_rows)
+    else:
+        pouter = params.pop("__pouter__", None)
+        if pouter:
+            from ..codecs.registry import unwrap_outer
+
+            tmp = {"outer": pouter}
+            raw = params.pop("__pouter_raw__", None)
+            if raw is not None:
+                tmp["outer_raw"] = raw
+            payload = unwrap_outer(payload, tmp)
+        if params.pop("__nulls__", False):
+            mv = memoryview(payload)
+            def_sz = int.from_bytes(mv[0:4], "little")
+            valid = _decode_def_levels(bytes(mv[4 : 4 + def_sz]), n_rows)
+            payload = bytes(mv[4 + def_sz :])
 
     if kind == "str":
         arr = decode_str_column(codec, payload, n_values, params)
@@ -322,8 +440,15 @@ def encode_df(
     forced_codecs: dict[str, str] | None = None,
     partitioning: str = "hash",
     build_blooms: bool = True,
+    page: str = "v1",
+    outer: str | None = None,
 ) -> DataFrame:
     """Encode ``col_kinds`` columns of ``df`` into a blocks DataFrame.
+
+    page="v1" | "v2" selects the data-page framing (see _encode_values:
+    V2 keeps levels uncompressed ahead of the data section with
+    num_rows/num_nulls in the header); ``outer`` optionally wraps pages in
+    a general-purpose codec (zlib/gzip/snappy/zstd/lz4_raw/brotli).
 
     partitioning="hash" (default): content-addressed crc32 of the key mod
     n_parts — deterministic at any parallelism, robust to any key type.
@@ -396,7 +521,7 @@ def encode_df(
         rows = []
 
         def add(column, codec, params, payload, n_values, stats=(None, None),
-                bloom=None):
+                bloom=None, page_stats=None):
             rows.append(
                 {
                     "part_id": part_id,
@@ -411,6 +536,7 @@ def encode_df(
                     "stat_min": stats[0],
                     "stat_max": stats[1],
                     "bloom": bloom,
+                    "page_stats": page_stats,
                 }
             )
 
@@ -429,16 +555,17 @@ def encode_df(
                 elem_kind = _LIST_KINDS[kind]
                 flat, lens = list_column_flat(arr)
                 c, p, payload, nv = _encode_values(
-                    pa.array(lens), "int", None
+                    pa.array(lens), "int", None, page, outer
                 )
                 add(col + ".lens", c, p, payload, nv)
                 c, p, payload, nv = _encode_values(
-                    pa.array(np.asarray(flat)), elem_kind, forced
+                    pa.array(np.asarray(flat)), elem_kind, forced, page, outer
                 )
                 add(col + ".vals", c, p, payload, nv)
             else:
                 stats = (None, None)
                 bloom = None
+                pstats = None
                 if kind in ("int", "int96_ts"):
                     stats = int_stats(arr)
                     if build_blooms:
@@ -446,11 +573,74 @@ def encode_df(
                         bloom = bloom_build(
                             present.to_numpy(zero_copy_only=False)
                         )
-                c, p, payload, nv = _encode_values(arr, kind, forced)
-                add(col, c, p, payload, nv, stats, bloom)
+                    if arr.null_count == 0:
+                        # sub-chunk zone maps (page row offsets only line
+                        # up with value offsets when nothing is null)
+                        pstats = _page_stats_blob(
+                            arr.to_numpy(zero_copy_only=False)
+                        )
+                c, p, payload, nv = _encode_values(arr, kind, forced, page, outer)
+                add(col, c, p, payload, nv, stats, bloom, pstats)
         return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
 
     return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
+
+
+_FIXED_STRIDE_BYTES = {"plain32": 4, "plain64": 8, "plain_f32": 4, "plain_f64": 8}
+
+
+def _slice_ranges(arr: pa.Array, ranges: list[tuple[int, int]] | None) -> pa.Array:
+    if ranges is None:
+        return arr
+    if not ranges:
+        return arr.slice(0, 0)
+    if len(ranges) == 1:
+        s, e = ranges[0]
+        return arr.slice(s, e - s)
+    return pa.concat_arrays(
+        [arr.slice(s, e - s) for s, e in ranges]
+    )
+
+
+def _decode_values_ranges(
+    payload: bytes, n_rows: int, n_values: int, codec: str, params_json: str,
+    kind: str, ranges: list[tuple[int, int]] | None,
+):
+    """Payload-slice fast path for the page-pruned decode: decode ONLY the
+    byte sub-ranges covering surviving pages instead of the whole chunk.
+    Eligible when every value has a fixed bit stride (plain / bitpack /
+    FOR — page boundaries are byte-aligned because PAGE_ROWS is a multiple
+    of 8) and value offsets equal row offsets (no nulls, no page/outer
+    framing).  Returns None when ineligible (caller decodes fully and
+    row-slices)."""
+    if not ranges or n_values != n_rows:
+        return None
+    params = params_from_json(params_json)
+    if any(
+        k in params for k in ("__nulls__", "__page__", "__pouter__", "outer")
+    ):
+        return None
+    pieces = []
+    if codec in _FIXED_STRIDE_BYTES:
+        sz = _FIXED_STRIDE_BYTES[codec]
+        for s, e in ranges:
+            pieces.append(
+                decode_column(codec, payload[s * sz : e * sz], e - s, params, kind)
+            )
+    elif codec in ("bitpack", "for") and kind == "int":
+        w = int(params["width"])
+        for s, e in ranges:
+            if (s * w) % 8:  # unreachable at PAGE_ROWS%8==0; belt-and-braces
+                return None
+            off = s * w // 8
+            end = off + -(-((e - s) * w) // 8)
+            pieces.append(
+                decode_column(codec, payload[off:end], e - s, params, kind)
+            )
+    else:
+        return None
+    out = np.concatenate([np.asarray(p) for p in pieces])
+    return pa.array(out)
 
 
 def decode_df(
@@ -458,31 +648,56 @@ def decode_df(
     key_col: str,
     col_kinds: dict[str, str],
     out_schema: T.StructType,
+    prune: tuple[str, int, int] | None = None,
 ) -> DataFrame:
-    """Inverse of :func:`encode_df`; returns rows bit-identical to input."""
+    """Inverse of :func:`encode_df`; returns rows bit-identical to input.
+
+    ``prune=(pred_col, lo, hi)``: consult pred_col's per-page zone maps
+    (page_stats) and decode only the row sub-ranges whose pages may
+    intersect [lo, hi] — the intra-chunk skip that keeps pruning selective
+    as chunks grow with scale.  Output is a SUPERSET of the matching rows
+    (callers re-apply the exact predicate); columns stay row-aligned
+    because every column slices to the same ranges."""
 
     def dec(tbl: pa.Table) -> pa.Table:
         by_col = {r["column"]: r for r in tbl.to_pylist()}
         n_rows = int(next(iter(by_col.values()))["n_rows"])
+        ranges: list[tuple[int, int]] | None = None
+        if prune is not None:
+            pcol, lo, hi = prune
+            prow = by_col.get(pcol)
+            pstats = prow.get("page_stats") if prow else None
+            if pstats:
+                ranges = _page_keep_ranges(bytes(pstats), n_rows, lo, hi)
         out_arrays, names = [], []
 
-        def chunk_arr(column, kind) -> pa.Array:
+        def chunk_arr(column, kind, slice_rows=True) -> pa.Array:
             row = by_col[column]
             payload = bytes(row["payload"])
             if zlib.crc32(payload) != int(row["checksum"]):
                 raise ValueError(f"checksum mismatch in {column}")
-            return _decode_values(
+            if slice_rows and ranges is not None:
+                fast = _decode_values_ranges(
+                    payload, n_rows, int(row["n_values"]), row["codec"],
+                    row["params"], kind, ranges,
+                )
+                if fast is not None:
+                    return fast
+            arr = _decode_values(
                 payload, n_rows, int(row["n_values"]), row["codec"],
                 row["params"], kind,
             )
+            return _slice_ranges(arr, ranges) if slice_rows else arr
 
         for col, kind in col_kinds.items():
             if kind in _LIST_KINDS:
                 elem_kind = _LIST_KINDS[kind]
-                lens = chunk_arr(col + ".lens", "int").to_numpy(
-                    zero_copy_only=False
-                )
-                flat = chunk_arr(col + ".vals", elem_kind)
+                # lists: lens and flat values must stay consistent, so the
+                # page slice applies to the ASSEMBLED list array (zero-copy
+                # offset views), not to the two chunks independently
+                lens = chunk_arr(col + ".lens", "int", slice_rows=False)
+                lens = lens.to_numpy(zero_copy_only=False)
+                flat = chunk_arr(col + ".vals", elem_kind, slice_rows=False)
                 offsets = np.zeros(n_rows + 1, dtype=np.int64)
                 np.cumsum(lens, out=offsets[1:])
                 if offsets[-1] >= 2**31:
@@ -493,7 +708,7 @@ def decode_df(
                 arr = pa.ListArray.from_arrays(
                     pa.array(offsets.astype(np.int32), type=pa.int32()), flat
                 )
-                out_arrays.append(arr)
+                out_arrays.append(_slice_ranges(arr, ranges))
             else:
                 out_arrays.append(chunk_arr(col, kind))
             names.append(col)
@@ -536,7 +751,11 @@ def decode_df_pruned(
         .distinct()
     )
     pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
-    return decode_df(pruned, key_col, col_kinds, out_schema)
+    # surviving chunks additionally skip intra-chunk page sub-ranges via
+    # the per-page zone maps (page_stats) — see decode_df
+    return decode_df(
+        pruned, key_col, col_kinds, out_schema, prune=(pred_col, lo, hi)
+    )
 
 
 def decode_df_pruned_eq(
@@ -671,12 +890,17 @@ def roundtrip(
     col_kinds: dict[str, str],
     n_parts: int | None = None,
     forced_codecs: dict[str, str] | None = None,
+    page: str = "v1",
+    outer: str | None = None,
 ) -> DataFrame:
     """encode -> blocks -> decode; output schema mirrors the selected input
-    columns (Spark types preserved via cast at the end)."""
+    columns (Spark types preserved via cast at the end).  ``page``/``outer``
+    select the data-page framing and page compression (see encode_df)."""
     cols = list(col_kinds)
     in_schema = df.select(*cols).schema
-    blocks = encode_df(df, key_col, col_kinds, n_parts, forced_codecs)
+    blocks = encode_df(
+        df, key_col, col_kinds, n_parts, forced_codecs, page=page, outer=outer
+    )
     decoded = decode_df(
         blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds)
     )

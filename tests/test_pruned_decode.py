@@ -266,3 +266,110 @@ def test_filtered_blocks_cache_union_consumes_both(spark):
         ).collect()
     )
     assert got == exp
+
+
+# -------------------------------------------- page-level (sub-chunk) zone maps
+
+def test_page_stats_subrange_skip_and_exactness(spark):
+    """Chunks bigger than PAGE_ROWS carry per-page min/max, and the pruned
+    decode skips intra-chunk sub-ranges: rows surfaced BEFORE the exact
+    filter stay well under the surviving chunk's row count, while the
+    filtered result is exact.  Covers both decode paths: `v` is forced to
+    bitpack (payload-slice fast path) and `w` carries nulls (full decode +
+    row slice fallback)."""
+    from parquet_python_spark.operators.generic_codec import (
+        PAGE_ROWS,
+        _arrow_safe_schema,
+        decode_df_pruned,
+        encode_df,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("w"),
+    )
+    kinds = {"k": "int", "v": "int", "w": "int"}
+    # 2 range parts -> ~10k-row chunks, ceil(10000/4096)=3 pages each
+    blocks = encode_df(
+        df, "k", kinds, n_parts=2, partitioning="range",
+        forced_codecs={"v": "bitpack"},
+    ).cache()
+    krows = blocks.filter(F.col("column") == "k").collect()
+    assert all(r["page_stats"] is not None for r in krows)
+    # null-bearing column gets no page stats (value/row offsets diverge)
+    wrows = blocks.filter(F.col("column") == "w").collect()
+    assert all(r["page_stats"] is None for r in wrows)
+
+    lo, hi = 5_000, 6_000
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "k", lo, hi).cache()
+    pre_filter = dec.count()
+    # chunk-level pruning alone surfaces the whole surviving 10k chunk;
+    # page skip cuts that to the one intersecting page (+ boundary slack)
+    assert pre_filter <= 2 * PAGE_ROWS, pre_filter
+    assert pre_filter >= hi - lo + 1
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in dec.filter((F.col("k") >= lo) & (F.col("k") <= hi)).collect()
+    )
+    exp = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in df.filter((F.col("k") >= lo) & (F.col("k") <= hi)).collect()
+    )
+    assert got == exp
+    dec.unpersist()
+    blocks.unpersist()
+
+
+def test_page_stats_fast_path_matches_full_decode():
+    """Payload-slice fast path (bitpack/FOR/plain) is value-identical to
+    decode-everything-then-slice on the same ranges."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_python_spark.codecs.registry import decode_column, encode_column
+    from parquet_python_spark.operators.generic_codec import (
+        _decode_values_ranges,
+        _page_keep_ranges,
+        _page_stats_blob,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 50_000
+    for codec in ("bitpack", "for", "plain32", "plain64"):
+        vals = np.sort(rng.integers(10, 2**20, n)).astype(
+            np.int32 if codec == "plain32" else np.int64
+        )
+        c, params, payload, _ = encode_column(vals, "int", codec=codec)
+        blob = _page_stats_blob(vals)
+        lo, hi = int(vals[n // 3]), int(vals[n // 2])
+        ranges = _page_keep_ranges(blob, n, lo, hi)
+        assert ranges, codec  # narrow predicate must skip pages
+        fast = _decode_values_ranges(
+            payload, n, n, c, json.dumps(params), "int", ranges
+        )
+        assert fast is not None, codec
+        full = np.asarray(decode_column(c, payload, n, dict(params), "int"))
+        exp = np.concatenate([full[s:e] for s, e in ranges])
+        assert (np.asarray(fast) == exp).all(), codec
+        # skipped something: fast output strictly smaller than the chunk
+        assert len(fast) < n, codec
+
+
+def test_page_stats_all_pages_survive_is_noop():
+    import numpy as np
+
+    from parquet_python_spark.operators.generic_codec import (
+        _page_keep_ranges,
+        _page_stats_blob,
+    )
+
+    vals = np.arange(10_000, dtype=np.int64)
+    blob = _page_stats_blob(vals)
+    # predicate covering everything -> None (decode untouched, zero overhead)
+    assert _page_keep_ranges(blob, 10_000, -5, 10**9) is None
+    # single-page chunks carry no page stats at all
+    assert _page_stats_blob(np.arange(100)) is None
