@@ -107,6 +107,17 @@ def dedup_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # exhausting max_iters with changed > 0 would otherwise SILENTLY
+        # return partially-merged labels — downstream keep-canonical would
+        # keep several "canonical" docs per true cluster (under-dedup with
+        # no signal).  Practically unreachable with pointer jumping
+        # (max_iters rounds cover ~2^max_iters chain depth), so a loud
+        # failure is the right contract.
+        raise RuntimeError(
+            f"dedup_components: not converged after {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )

@@ -434,6 +434,20 @@ def test_dedup_components_path_graph_log_rounds(spark):
     assert all(r["component_id"] == 0 for r in out)
 
 
+def test_dedup_components_nonconvergence_is_loud(spark):
+    """Exhausting max_iters with labels still changing must raise, not
+    silently return partially-merged labels (silent under-dedup)."""
+    import pytest
+
+    from parquet_python_spark.operators.pipeline_ops import dedup_components
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup_components(df, max_iters=1).collect()
+
+
 def test_dedup_keep_canonical_end_to_end(spark):
     """docs + candidate pairs -> one keep=True per component (its min id),
     and untouched docs keep themselves."""

@@ -173,11 +173,12 @@ def main() -> None:
     ok = "EvalPython" not in p and "Exchange hashpartitioning" not in p
     checks.append(("scrub_pii: JVM-only narrow map, zero shuffles", ok, p))
 
-    # 18. simhash pairs: band equi-join only — no cartesian/nested-loop
-    p = _plan(qs["dedup_simhash_pairs"](spark, sf_dir))
+    # 18. simhash (merged r5: fingerprints + band-bucketed pairs): band
+    # equi-join only — no cartesian/nested-loop anywhere in the union
+    p = _plan(qs["dedup_simhash"](spark, sf_dir))
     ok = "CartesianProduct" not in p and "NestedLoop" not in p
     checks.append(
-        ("dedup_simhash_pairs: band equi-join, no cartesian", ok, p)
+        ("dedup_simhash: band equi-join, no cartesian", ok, p)
     )
 
     # 19. semi/anti joins: plan as (Broadcast)HashJoin LeftSemi/LeftAnti,
@@ -187,11 +188,20 @@ def main() -> None:
     checks.append(("join_semi_anti: LeftSemi + LeftAnti join nodes", ok, p))
 
     # 20. embedding LSH ops: exact-integer ternary planes — zero Python
-    # eval nodes, no cartesian (bucket equi-join / Hamming filter only)
-    p = _plan(qs["near_dup_embeddings_lsh"](spark, sf_dir))
+    # eval nodes, no cartesian (bucket equi-join / Hamming filter only).
+    # The SCALE path is audited directly (the merged near_dup_embeddings
+    # driver row unions it with the intentionally-all-pairs exact
+    # baseline, which IS a nested-loop by design)
+    from parquet_python_spark.operators.pipeline_ops import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = _plan(embedding_near_dup_lsh(emb, min_cosine=0.35, n_planes=4))
     ok = "EvalPython" not in p and "CartesianProduct" not in p
     checks.append(
-        ("near_dup_embeddings_lsh: JVM-only buckets, no cartesian", ok, p)
+        ("near_dup_embeddings (lsh scale path): JVM-only buckets, "
+         "no cartesian", ok, p)
     )
     p = _plan(qs["ann_lsh_topk"](spark, sf_dir))
     ok = "EvalPython" not in p and "CartesianProduct" not in p
