@@ -235,6 +235,28 @@ def main() -> None:
         ("rt_lineitem_pruned: broadcast left-semi prune (range + bloom eq)", ok, p)
     )
 
+    # 23. end-to-end cluster dedup (minhash candidates -> connected
+    # components -> canonical keep): the iterative CC loop must CONVERGE
+    # within 10 pointer-jumping rounds on the real candidate graph (it
+    # raises otherwise), and the returned plan must read the final
+    # localCheckpointed RDD — i.e. lineage is BOUNDED by the per-round
+    # checkpoint, not a 10-round nested join tree
+    from parquet_python_spark.operators.pipeline_ops import (
+        dedup_components,
+        dedup_minhash_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comps = dedup_components(
+        dedup_minhash_candidates(docs), max_iters=10
+    )  # raises if >10 rounds
+    p = _plan(comps)
+    ok = "Scan ExistingRDD" in p and "Join" not in p
+    checks.append(
+        ("dedup_pipeline: CC converges <=10 rounds; final plan reads the "
+         "checkpointed RDD (lineage bounded per round)", ok, p)
+    )
+
     n_bad = 0
     for name, ok, plan in checks:
         mark = "PASS" if ok else "FAIL"
