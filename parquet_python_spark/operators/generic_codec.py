@@ -75,6 +75,14 @@ BLOCKS_SCHEMA = T.StructType(
         # lose selectivity exactly as chunks grow with scale; page stats
         # let decode skip sub-ranges of a surviving chunk
         T.StructField("page_stats", T.BinaryType(), True),
+        # TRUNCATED string bounds for str columns (Parquet ColumnIndex
+        # truncation semantics): stat_min_str is a prefix of the chunk min
+        # (a prefix sorts <= the original — valid lower bound);
+        # stat_max_str is the truncated max's SUCCESSOR (last char + 1),
+        # so every value in the chunk sorts <= it; NULL max = unbounded.
+        # Fixed 16-char cap keeps metadata rows small at any value width
+        T.StructField("stat_min_str", T.StringType(), True),
+        T.StructField("stat_max_str", T.StringType(), True),
     ]
 )
 
@@ -93,8 +101,41 @@ _BLOCKS_ARROW = pa.schema(
         ("stat_max", pa.int64()),
         ("bloom", pa.binary()),
         ("page_stats", pa.binary()),
+        ("stat_min_str", pa.string()),
+        ("stat_max_str", pa.string()),
     ]
 )
+
+# character cap for truncated string zone-map bounds
+STR_STAT_CHARS = 16
+
+
+def _str_stats(arr: pa.Array) -> tuple[str | None, str | None]:
+    """Truncated (lower_bound, upper_bound) over a string chunk.  The
+    lower bound is the min truncated to STR_STAT_CHARS chars (a prefix
+    sorts <= the original).  The upper bound is the max truncated and
+    then INCREMENTED at its last char (every string with that prefix
+    sorts strictly below the successor), or None (unbounded) in the
+    degenerate can't-increment case — truncation must never tighten a
+    bound.  Code-point order everywhere (Spark UTF8String, DuckDB and
+    Python all compare UTF-8 strings by code point)."""
+    if len(arr) == 0 or arr.null_count == len(arr):
+        return (None, None)
+    mm = pc.min_max(arr)
+    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    lo = mn[:STR_STAT_CHARS]
+    if len(mx) <= STR_STAT_CHARS:
+        return (lo, mx)
+    p = mx[:STR_STAT_CHARS]
+    i = len(p) - 1
+    while i >= 0 and ord(p[i]) >= 0x10FFFF:
+        i -= 1
+    if i < 0:  # all chars at the code-point ceiling: no finite successor
+        return (lo, None)
+    nxt = ord(p[i]) + 1
+    if 0xD800 <= nxt <= 0xDFFF:  # skip the surrogate gap (invalid UTF-8);
+        nxt = 0xE000  # a LARGER successor is still a valid upper bound
+    return (lo, p[:i] + chr(nxt))
 
 _LIST_KINDS = {"int_list": "int", "f32_list": "float32"}
 _NUMERIC_NP = {
@@ -521,7 +562,7 @@ def encode_df(
         rows = []
 
         def add(column, codec, params, payload, n_values, stats=(None, None),
-                bloom=None, page_stats=None):
+                bloom=None, page_stats=None, str_stats=(None, None)):
             rows.append(
                 {
                     "part_id": part_id,
@@ -537,6 +578,8 @@ def encode_df(
                     "stat_max": stats[1],
                     "bloom": bloom,
                     "page_stats": page_stats,
+                    "stat_min_str": str_stats[0],
+                    "stat_max_str": str_stats[1],
                 }
             )
 
@@ -564,6 +607,7 @@ def encode_df(
                 add(col + ".vals", c, p, payload, nv)
             else:
                 stats = (None, None)
+                sstats = (None, None)
                 bloom = None
                 pstats = None
                 if kind in ("int", "int96_ts"):
@@ -579,8 +623,10 @@ def encode_df(
                         pstats = _page_stats_blob(
                             arr.to_numpy(zero_copy_only=False)
                         )
+                elif kind == "str":
+                    sstats = _str_stats(arr)
                 c, p, payload, nv = _encode_values(arr, kind, forced, page, outer)
-                add(col, c, p, payload, nv, stats, bloom, pstats)
+                add(col, c, p, payload, nv, stats, bloom, pstats, sstats)
         return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
 
     return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
@@ -733,29 +779,43 @@ def decode_df_pruned(
     parquet scan (Catalyst sees plain column predicates), and the surviving
     part_ids broadcast into a semi join, so non-qualifying payloads are
     never read, shuffled, or decoded.  Callers re-apply the exact row
-    predicate after decode (block stats are a superset filter)."""
-    if col_kinds.get(pred_col) not in ("int", "int96_ts"):
-        # stats exist only for numeric kinds; a NULL-stat comparison would
-        # prune EVERYTHING — a silent wrong answer, so reject loudly
-        raise ValueError(
-            f"pred_col {pred_col!r} has kind {col_kinds.get(pred_col)!r}; "
-            "min/max pruning needs an int or int96_ts column"
+    predicate after decode (block stats are a superset filter).
+
+    ``pred_col`` may be an int/int96_ts column (exact chunk bounds + the
+    intra-chunk page skip) or a str column with str bounds (TRUNCATED
+    chunk bounds, Parquet ColumnIndex truncation semantics — stat_min_str
+    is a prefix of the min, stat_max_str the truncated max's successor,
+    NULL = unbounded, so the filter stays conservative at any value
+    width)."""
+    kind = col_kinds.get(pred_col)
+    if kind == "str":
+        if not (isinstance(lo, str) and isinstance(hi, str)):
+            raise ValueError("str pred_col needs str bounds")
+        keep_pred = (
+            (F.col("column") == pred_col)
+            & (F.col("stat_max_str").isNull() | (F.col("stat_max_str") >= lo))
+            & (F.col("stat_min_str") <= hi)
         )
-    keep = (
-        blocks.filter(
+        page_prune = None  # page stats are int-only
+    elif kind in ("int", "int96_ts"):
+        keep_pred = (
             (F.col("column") == pred_col)
             & (F.col("stat_max") >= lo)
             & (F.col("stat_min") <= hi)
         )
-        .select("part_id")
-        .distinct()
-    )
+        page_prune = (pred_col, lo, hi)
+    else:
+        # stats exist only for int/str kinds; a NULL-stat comparison would
+        # prune EVERYTHING — a silent wrong answer, so reject loudly
+        raise ValueError(
+            f"pred_col {pred_col!r} has kind {kind!r}; "
+            "min/max pruning needs an int, int96_ts or str column"
+        )
+    keep = blocks.filter(keep_pred).select("part_id").distinct()
     pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
     # surviving chunks additionally skip intra-chunk page sub-ranges via
     # the per-page zone maps (page_stats) — see decode_df
-    return decode_df(
-        pruned, key_col, col_kinds, out_schema, prune=(pred_col, lo, hi)
-    )
+    return decode_df(pruned, key_col, col_kinds, out_schema, prune=page_prune)
 
 
 def decode_df_pruned_eq(

@@ -99,9 +99,11 @@ def test_roundtrip_filtered_end_to_end(spark, keyed_df):
 
 
 def test_pruned_decode_rejects_non_numeric_pred(spark, keyed_df):
+    # r5: str predicates are now SUPPORTED (truncated string zone maps) —
+    # but only with str bounds; int bounds on a str column stay loud
     from parquet_python_spark.operators.generic_codec import roundtrip_filtered
 
-    with pytest.raises(ValueError, match="min/max pruning"):
+    with pytest.raises(ValueError, match="str bounds"):
         roundtrip_filtered(
             keyed_df, "k", {"k": "int", "s": "str"}, "s", 0, 10, n_parts=4
         ).collect()
@@ -373,3 +375,134 @@ def test_page_stats_all_pages_survive_is_noop():
     assert _page_keep_ranges(blob, 10_000, -5, 10**9) is None
     # single-page chunks carry no page stats at all
     assert _page_stats_blob(np.arange(100)) is None
+
+
+# ------------------------------------------------ string (truncated) zone maps
+
+def test_str_stats_truncation_semantics():
+    """Truncated bounds must never tighten: lower is a prefix of the min,
+    upper is the truncated max's SUCCESSOR (>= every chunk value)."""
+    import pyarrow as pa
+
+    from parquet_python_spark.operators.generic_codec import (
+        STR_STAT_CHARS,
+        _str_stats,
+    )
+
+    # short values: exact bounds
+    assert _str_stats(pa.array(["b", "a", "c"])) == ("a", "c")
+    # long max: 16-char prefix with last char incremented
+    long_max = "m" * 20
+    lo, hi = _str_stats(pa.array(["alpha", long_max]))
+    assert lo == "alpha" and hi == "m" * 15 + "n"
+    assert len(hi) == STR_STAT_CHARS and long_max <= hi
+    # long min: plain prefix (sorts <= original)
+    lo, hi = _str_stats(pa.array(["a" * 30, "zz"]))
+    assert lo == "a" * 16 and lo <= "a" * 30 and hi == "zz"
+    # successor would land in the surrogate gap: jumps to U+E000 (still an
+    # upper bound, just looser)
+    v = "x" * 15 + chr(0xD7FF) + "tail"
+    lo, hi = _str_stats(pa.array(["a", v]))
+    assert hi == "x" * 15 + chr(0xE000) and v <= hi
+    # every char at the code-point ceiling: unbounded above
+    v = chr(0x10FFFF) * 20
+    lo, hi = _str_stats(pa.array(["a", v]))
+    assert hi is None
+    # all-null / empty chunks carry no bounds
+    assert _str_stats(pa.array([], type=pa.string())) == (None, None)
+    assert _str_stats(pa.array([None], type=pa.string())) == (None, None)
+
+
+def test_string_zone_maps_prune_and_exact(spark):
+    """decode_df_pruned on a str predicate: chunks whose truncated bounds
+    miss the range are never decoded; the filtered result is exact."""
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned,
+        encode_df,
+    )
+
+    df = spark.range(8_000).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.lit("key"), F.lpad(F.col("id").cast("string"), 8, "0")
+        ).alias("s"),
+    )
+    kinds = {"k": "int", "s": "str"}
+    blocks = encode_df(
+        df, "k", kinds, n_parts=8, partitioning="range"
+    ).cache()
+    srows = blocks.filter(F.col("column") == "s").collect()
+    assert all(
+        r["stat_min_str"] is not None and r["stat_max_str"] is not None
+        for r in srows
+    )
+    lo, hi = "key00002000", "key00002499"
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "s", lo, hi).cache()
+    pre = dec.count()
+    # 8 range chunks of ~1000 rows: the [2000, 2499] key range lives in one
+    # chunk (+1 of boundary slack) — far below the 8000-row table
+    assert 500 <= pre <= 2_000, pre
+    got = sorted(
+        (r["k"], r["s"])
+        for r in dec.filter((F.col("s") >= lo) & (F.col("s") <= hi)).collect()
+    )
+    exp = sorted(
+        (r["k"], r["s"])
+        for r in df.filter((F.col("s") >= lo) & (F.col("s") <= hi)).collect()
+    )
+    assert got == exp and len(got) == 500
+    dec.unpersist()
+    blocks.unpersist()
+
+
+def test_string_zone_maps_shared_prefix_is_conservative(spark):
+    """Keys sharing a >16-char prefix: truncated bounds collapse to the
+    same (prefix, successor) window on every chunk — NOTHING prunes, and
+    the result must still be exact (truncation never loses rows)."""
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned,
+        encode_df,
+    )
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.lit("p" * 20), F.lpad(F.col("id").cast("string"), 6, "0")
+        ).alias("s"),
+    )
+    kinds = {"k": "int", "s": "str"}
+    blocks = encode_df(df, "k", kinds, n_parts=4, partitioning="range")
+    lo = "p" * 20 + "000100"
+    hi = "p" * 20 + "000199"
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "s", lo, hi)
+    got = sorted(
+        r["k"]
+        for r in dec.filter((F.col("s") >= lo) & (F.col("s") <= hi)).collect()
+    )
+    assert got == list(range(100, 200))
+
+
+def test_string_pruning_rejects_bad_kinds(spark):
+    import pyarrow  # noqa: F401
+
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned,
+        encode_df,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("d"),
+        F.col("id").cast("string").alias("s"),
+    )
+    kinds = {"k": "int", "d": "float64", "s": "str"}
+    blocks = encode_df(df, "k", kinds, n_parts=2)
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    with pytest.raises(ValueError, match="min/max pruning"):
+        decode_df_pruned(blocks, "k", kinds, out_schema, "d", 1, 5)
+    with pytest.raises(ValueError, match="str bounds"):
+        decode_df_pruned(blocks, "k", kinds, out_schema, "s", 1, 5)
