@@ -137,6 +137,21 @@ def _str_stats(arr: pa.Array) -> tuple[str | None, str | None]:
         nxt = 0xE000  # a LARGER successor is still a valid upper bound
     return (lo, p[:i] + chr(nxt))
 
+def _float_ordered_bits(vals: np.ndarray) -> np.ndarray:
+    """Total-order-preserving signed-int64 image of float64 values (the
+    IEEE-754 radix-sort trick, adjusted for a SIGNED target: non-negative
+    floats keep their bit pattern, negative floats flip all non-sign
+    bits).  Lets float columns share the int64 stat/page-stat machinery
+    with exact monotone semantics: -inf < -1 < -0.0 < +0.0 < 1 < +inf <
+    NaN — matching Spark's NaN-greatest float ordering."""
+    bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.int64)
+    return np.where(bits >= 0, bits, bits ^ np.int64(0x7FFFFFFFFFFFFFFF))
+
+
+def _float_ordered_scalar(v: float) -> int:
+    return int(_float_ordered_bits(np.array([float(v)], dtype=np.float64))[0])
+
+
 _LIST_KINDS = {"int_list": "int", "f32_list": "float32"}
 _NUMERIC_NP = {
     "int": np.int64,
@@ -625,6 +640,22 @@ def encode_df(
                         )
                 elif kind == "str":
                     sstats = _str_stats(arr)
+                elif kind in ("float64", "float32"):
+                    # float zone maps ride the int64 stat columns through
+                    # the order-preserving bits transform (exact monotone,
+                    # NaN sorts greatest — same as Spark)
+                    if len(arr) and arr.null_count < len(arr):
+                        present = (
+                            pc.drop_null(arr) if arr.null_count else arr
+                        )
+                        ob = _float_ordered_bits(
+                            present.to_numpy(zero_copy_only=False).astype(
+                                np.float64, copy=False
+                            )
+                        )
+                        stats = (int(ob.min()), int(ob.max()))
+                        if arr.null_count == 0:
+                            pstats = _page_stats_blob(ob)
                 c, p, payload, nv = _encode_values(arr, kind, forced, page, outer)
                 add(col, c, p, payload, nv, stats, bloom, pstats, sstats)
         return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
@@ -782,11 +813,12 @@ def decode_df_pruned(
     predicate after decode (block stats are a superset filter).
 
     ``pred_col`` may be an int/int96_ts column (exact chunk bounds + the
-    intra-chunk page skip) or a str column with str bounds (TRUNCATED
-    chunk bounds, Parquet ColumnIndex truncation semantics — stat_min_str
-    is a prefix of the min, stat_max_str the truncated max's successor,
-    NULL = unbounded, so the filter stays conservative at any value
-    width)."""
+    intra-chunk page skip), a float column with numeric bounds (exact
+    bounds through the order-preserving bits transform, page skip
+    included), or a str column with str bounds (TRUNCATED chunk bounds,
+    Parquet ColumnIndex truncation semantics — stat_min_str is a prefix
+    of the min, stat_max_str the truncated max's successor, NULL =
+    unbounded, so the filter stays conservative at any value width)."""
     kind = col_kinds.get(pred_col)
     if kind == "str":
         if not (isinstance(lo, str) and isinstance(hi, str)):
@@ -797,6 +829,17 @@ def decode_df_pruned(
             & (F.col("stat_min_str") <= hi)
         )
         page_prune = None  # page stats are int-only
+    elif kind in ("float64", "float32"):
+        if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+            raise ValueError("float pred_col needs numeric bounds")
+        # same monotone bits transform as encode: compare in int64 space
+        olo, ohi = _float_ordered_scalar(lo), _float_ordered_scalar(hi)
+        keep_pred = (
+            (F.col("column") == pred_col)
+            & (F.col("stat_max") >= olo)
+            & (F.col("stat_min") <= ohi)
+        )
+        page_prune = (pred_col, olo, ohi)
     elif kind in ("int", "int96_ts"):
         keep_pred = (
             (F.col("column") == pred_col)
@@ -809,7 +852,7 @@ def decode_df_pruned(
         # prune EVERYTHING — a silent wrong answer, so reject loudly
         raise ValueError(
             f"pred_col {pred_col!r} has kind {kind!r}; "
-            "min/max pruning needs an int, int96_ts or str column"
+            "min/max pruning needs an int, int96_ts, float or str column"
         )
     keep = blocks.filter(keep_pred).select("part_id").distinct()
     pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")

@@ -496,13 +496,72 @@ def test_string_pruning_rejects_bad_kinds(spark):
     )
 
     df = spark.range(100).select(
-        F.col("id").alias("k"), F.col("id").cast("double").alias("d"),
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("b"),
         F.col("id").cast("string").alias("s"),
     )
-    kinds = {"k": "int", "d": "float64", "s": "str"}
+    kinds = {"k": "int", "b": "bool", "s": "str"}
     blocks = encode_df(df, "k", kinds, n_parts=2)
     out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
     with pytest.raises(ValueError, match="min/max pruning"):
-        decode_df_pruned(blocks, "k", kinds, out_schema, "d", 1, 5)
+        decode_df_pruned(blocks, "k", kinds, out_schema, "b", 1, 5)
     with pytest.raises(ValueError, match="str bounds"):
         decode_df_pruned(blocks, "k", kinds, out_schema, "s", 1, 5)
+
+
+# ------------------------------------------------ float (ordered-bits) zone maps
+
+def test_float_ordered_bits_is_monotone():
+    import numpy as np
+
+    from parquet_python_spark.operators.generic_codec import (
+        _float_ordered_bits,
+    )
+
+    vals = np.array(
+        [-np.inf, -1e300, -1.5, -1e-300, -0.0, 0.0, 1e-300, 2.5, 1e300,
+         np.inf, np.nan]
+    )
+    ob = _float_ordered_bits(vals)
+    # strictly ordered except the -0.0/+0.0 pair (equal floats may map to
+    # adjacent ints; ordering only needs monotonicity)
+    assert (np.diff(ob) >= 0).all()
+    assert ob[-1] > ob[-2]  # NaN sorts greatest (Spark semantics)
+    assert ob[4] < ob[5]  # -0.0 below +0.0
+
+
+def test_float_zone_maps_prune_and_exact(spark):
+    """decode_df_pruned on a float64 predicate: chunk skip via the
+    ordered-bits stats, page skip inside surviving chunks, exact result
+    after the caller's filter."""
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned,
+        encode_df,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("double") / 100.0 - 50.0).alias("x"),
+    )
+    kinds = {"k": "int", "x": "float64"}
+    blocks = encode_df(
+        df, "k", kinds, n_parts=4, partitioning="range"
+    ).cache()
+    xrows = blocks.filter(F.col("column") == "x").collect()
+    assert all(r["stat_min"] is not None for r in xrows)
+    # chunks are 5k rows -> 2 pages each; x is monotone in k so both
+    # levels of stats are selective
+    assert all(r["page_stats"] is not None for r in xrows)
+    lo, hi = -10.0, -5.0  # k in [4000, 4500]: one chunk, one page
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "x", lo, hi).cache()
+    pre = dec.count()
+    assert pre <= 5_000, pre  # at most one surviving chunk's pages
+    got = sorted(
+        r["k"]
+        for r in dec.filter((F.col("x") >= lo) & (F.col("x") <= hi)).collect()
+    )
+    exp = list(range(4_000, 4_501))
+    assert got == exp
+    dec.unpersist()
+    blocks.unpersist()
