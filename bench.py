@@ -62,7 +62,7 @@ def _synth_docs(spark, n_docs: int):
     )
 
 
-def _dedup_pipeline_df(spark, sf_dir, qs):
+def _dedup_pipeline_df(spark, sf_dir):
     """End-to-end cluster dedup on the sf documents table: MinHash LSH
     candidates -> connected components -> canonical survivor keep bits."""
     from parquet_python_spark.operators.pipeline_ops import (
@@ -188,7 +188,7 @@ def main() -> None:
                     continue
                 t0 = time.perf_counter()
                 if name == "dedup_pipeline":
-                    consume(_dedup_pipeline_df(spark, sf_dir, qs))
+                    consume(_dedup_pipeline_df(spark, sf_dir))
                 else:
                     consume(qs[name](spark, sf_dir))
                 dt = time.perf_counter() - t0
@@ -198,7 +198,7 @@ def main() -> None:
         # Replicating sf0.1 docs 10x would manufacture quadratic near-dup
         # density (every doc gains 9 twins) — a different workload, not a
         # scale-up.  _synth_docs generates unique docs with LINEAR twin
-        # density (1 in 20 docs is a 3-word mutation of its predecessor),
+        # density (1 in 20 docs is a 4-word mutation of its predecessor),
         # so the sf1-class row is the same workload at 10x rows.
         synth_base = _synth_docs(spark, 5_000)
         synth_base.write.parquet(os.path.join(workdir, "synth5k"))
@@ -316,10 +316,24 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
 
+    # rows NEW in r5, excluded from the continuity sums so 'value'/
+    # 'value_sf1'/'value_sf01' keep the r4 composition and stay comparable
+    # round-over-round (adding a row to the sum would read as a regression
+    # with no engine change); the inclusive sums land in *_all
+    new_rows = {"dedup_pipeline", "dedup_minhash_synth",
+                "sf1/dedup_minhash_synth"}
     sf01_sum = round(
-        sum(v for k, v in queries.items() if not k.startswith("sf1/")), 3
+        sum(v for k, v in queries.items()
+            if not k.startswith("sf1/") and k not in new_rows), 3
     )
     sf1_sum = round(
+        sum(v for k, v in queries.items()
+            if k.startswith("sf1/") and k not in new_rows), 3
+    )
+    sf01_sum_all = round(
+        sum(v for k, v in queries.items() if not k.startswith("sf1/")), 3
+    )
+    sf1_sum_all = round(
         sum(v for k, v in queries.items() if k.startswith("sf1/")), 3
     )
     out = {
@@ -339,6 +353,10 @@ def main() -> None:
         "value": sf1_sum if sf1_sum > 0 else sf01_sum,
         "value_sf1": sf1_sum,
         "value_sf01": sf01_sum,
+        # inclusive sums (r5 composition: + dedup_pipeline,
+        # dedup_minhash_synth at both scales)
+        "value_sf1_all": sf1_sum_all,
+        "value_sf01_all": sf01_sum_all,
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": sf,

@@ -497,6 +497,8 @@ def parse_page_v2(buf: bytes) -> tuple[bytes | None, bytes, int, int]:
     (def_blob | None, data_section, n_rows, n_nulls).  Loud-fails on
     foreign bytes rather than decoding a fabricated page."""
     mv = memoryview(buf)
+    if len(mv) < 14:
+        raise ValueError("page_v2: buffer shorter than the fixed header")
     if bytes(mv[0:2]) != _PAGE_V2_MAGIC:
         raise ValueError("page_v2: bad magic")
     n_rows = int.from_bytes(mv[2:6], "little")

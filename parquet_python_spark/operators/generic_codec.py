@@ -736,6 +736,12 @@ def decode_df(
     (callers re-apply the exact predicate); columns stay row-aligned
     because every column slices to the same ranges."""
 
+    # arrow image of the output schema, for the all-pages-pruned early exit
+    # (a zero-row table without touching any payload)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    empty_out = pa.Table.from_pylist([], schema=to_arrow_schema(out_schema))
+
     def dec(tbl: pa.Table) -> pa.Table:
         by_col = {r["column"]: r for r in tbl.to_pylist()}
         n_rows = int(next(iter(by_col.values()))["n_rows"])
@@ -746,6 +752,11 @@ def decode_df(
             pstats = prow.get("page_stats") if prow else None
             if pstats:
                 ranges = _page_keep_ranges(bytes(pstats), n_rows, lo, hi)
+        if ranges == []:
+            # chunk-level stats passed but EVERY page misses the predicate
+            # (bounds straddle a gap between pages): nothing to decode —
+            # skipping the whole part here is where page stats win most
+            return empty_out
         out_arrays, names = [], []
 
         def chunk_arr(column, kind, slice_rows=True) -> pa.Array:
@@ -830,10 +841,18 @@ def decode_df_pruned(
         )
         page_prune = None  # page stats are int-only
     elif kind in ("float64", "float32"):
-        if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+        if any(
+            isinstance(b, bool) or not isinstance(b, (int, float))
+            for b in (lo, hi)
+        ):
             raise ValueError("float pred_col needs numeric bounds")
-        # same monotone bits transform as encode: compare in int64 space
-        olo, ohi = _float_ordered_scalar(lo), _float_ordered_scalar(hi)
+        # same monotone bits transform as encode: compare in int64 space.
+        # The transform distinguishes -0.0 (< +0.0) while IEEE/Spark
+        # comparison does not, so widen zero bounds to the ±0 pair's outer
+        # edge — otherwise a chunk whose max is -0.0 would be pruned for
+        # lo=0.0 even though -0.0 >= 0.0 is true row-side
+        olo = _float_ordered_scalar(-0.0 if lo == 0 else lo)
+        ohi = _float_ordered_scalar(+0.0 if hi == 0 else hi)
         keep_pred = (
             (F.col("column") == pred_col)
             & (F.col("stat_max") >= olo)

@@ -74,6 +74,7 @@ def dedup_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
+    changed = None  # None = the loop never ran (max_iters <= 0)
     for _ in range(max_iters):
         # neighbor relax: comp(u) <- min(comp(u), min over comp(v), v~u)
         via_edges = (
@@ -108,15 +109,22 @@ def dedup_components(
         if changed == 0:
             break
     else:
-        # exhausting max_iters with changed > 0 would otherwise SILENTLY
-        # return partially-merged labels — downstream keep-canonical would
-        # keep several "canonical" docs per true cluster (under-dedup with
-        # no signal).  Practically unreachable with pointer jumping
-        # (max_iters rounds cover ~2^max_iters chain depth), so a loud
-        # failure is the right contract.
+        # Convergence is only CERTIFIED by a round with changed == 0;
+        # exhausting max_iters while the last round still changed labels
+        # means the result MAY be partially merged — silently returning it
+        # would let keep-canonical keep several "canonical" docs per true
+        # cluster (under-dedup with no signal).  The raise can be
+        # conservative (the final round may have just reached the fixed
+        # point) but never silent; practically unreachable with pointer
+        # jumping (max_iters rounds cover ~2^max_iters chain depth).
+        detail = (
+            "the loop never ran (max_iters <= 0)"
+            if changed is None
+            else f"last round still changed {changed} labels"
+        )
         raise RuntimeError(
-            f"dedup_components: not converged after {max_iters} rounds "
-            f"({changed} labels still changing) — raise max_iters"
+            f"dedup_components: cannot certify convergence after "
+            f"{max_iters} rounds ({detail}) — raise max_iters"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")

@@ -444,8 +444,11 @@ def test_dedup_components_nonconvergence_is_loud(spark):
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
     )
-    with pytest.raises(RuntimeError, match="not converged"):
+    with pytest.raises(RuntimeError, match="cannot certify convergence"):
         dedup_components(df, max_iters=1).collect()
+    # degenerate max_iters=0: loud too (not a NameError)
+    with pytest.raises(RuntimeError, match="never ran"):
+        dedup_components(df, max_iters=0).collect()
 
 
 def test_dedup_keep_canonical_end_to_end(spark):

@@ -565,3 +565,39 @@ def test_float_zone_maps_prune_and_exact(spark):
     assert got == exp
     dec.unpersist()
     blocks.unpersist()
+
+
+def test_float_zone_maps_negative_zero_boundary(spark):
+    """-0.0 sorts below +0.0 in the bits transform but equals it in
+    IEEE/Spark comparison: a chunk whose max is -0.0 must SURVIVE a
+    lo=0.0 prune (the bounds widen across the ±0 pair)."""
+    import pandas as pd
+
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        _float_ordered_scalar,
+        decode_df_pruned,
+        encode_df,
+    )
+
+    assert _float_ordered_scalar(-0.0) == -1 and _float_ordered_scalar(0.0) == 0
+
+    pdf = pd.DataFrame(
+        {"k": range(100), "x": [-0.0] * 50 + [5.0] * 50}
+    )
+    df = spark.createDataFrame(pdf)
+    kinds = {"k": "int", "x": "float64"}
+    blocks = encode_df(
+        df, "k", kinds, n_parts=2, partitioning="range"
+    ).cache()
+    # the low chunk's stats really are the ±0 edge case
+    xr = sorted(
+        (r["stat_min"], r["stat_max"])
+        for r in blocks.filter(F.col("column") == "x").collect()
+    )
+    assert xr[0][1] == -1  # max(-0.0) under the bits transform
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "x", 0.0, 10.0)
+    got = dec.filter((F.col("x") >= 0.0) & (F.col("x") <= 10.0)).count()
+    assert got == 100  # -0.0 >= 0.0 is TRUE row-side: nothing may vanish
+    blocks.unpersist()
