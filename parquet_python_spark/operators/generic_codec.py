@@ -569,6 +569,14 @@ def encode_df(
     else:
         raise ValueError(f"unknown partitioning {partitioning!r}")
     work = df.select(*cols).withColumn("part_id", part_expr)
+    # string blooms: hash JVM-side (xxhash64, vectorized in codegen) so the
+    # encode UDF never runs per-row Python over string bytes; the hidden
+    # column rides next to its string column and is dropped from the blocks
+    str_bloom_cols = (
+        [c for c, k in col_kinds.items() if k == "str"] if build_blooms else []
+    )
+    for c in str_bloom_cols:
+        work = work.withColumn(f"__bh_{c}", F.xxhash64(F.col(c)))
 
     def enc(tbl: pa.Table) -> pa.Table:
         tbl = tbl.sort_by(key_col)
@@ -640,6 +648,19 @@ def encode_df(
                         )
                 elif kind == "str":
                     sstats = _str_stats(arr)
+                    if build_blooms:
+                        # bloom over the JVM-computed xxhash64 values
+                        # (row-aligned; drop slots where the string is null)
+                        hvals = combined_chunks(
+                            tbl.column(f"__bh_{col}")
+                        ).to_numpy(zero_copy_only=False)
+                        if arr.null_count:
+                            hvals = hvals[
+                                pc.is_valid(arr).to_numpy(
+                                    zero_copy_only=False
+                                )
+                            ]
+                        bloom = bloom_build(hvals.astype(np.int64, copy=False))
                 elif kind in ("float64", "float32"):
                     # float zone maps ride the int64 stat columns through
                     # the order-preserving bits transform (exact monotone,
@@ -886,7 +907,7 @@ def decode_df_pruned_eq(
     col_kinds: dict[str, str],
     out_schema: T.StructType,
     pred_col: str,
-    value: int,
+    value: int | str,
 ) -> DataFrame:
     """Equality-predicate block skipping via the per-chunk Bloom filters:
     decode only partitions whose filter says ``value`` MAY be present
@@ -899,29 +920,54 @@ def decode_df_pruned_eq(
     to the driver at any chunk count.  Only the surviving part_ids flow
     into the broadcast semi-join prune, exactly like the stats path.
     Callers re-apply the exact predicate after decode (Bloom filters
-    admit false positives, never false negatives)."""
-    if col_kinds.get(pred_col) not in ("int", "int96_ts"):
-        raise ValueError(
-            f"pred_col {pred_col!r} has kind {col_kinds.get(pred_col)!r}; "
-            "bloom pruning needs an int or int96_ts column"
+    admit false positives, never false negatives).
+
+    ``pred_col`` may be int/int96_ts (bloom over the values) or str
+    (bloom over JVM-side xxhash64 of the values — the query literal is
+    hashed through the same Spark function, so executor and probe agree
+    bit-for-bit; the truncated string zone maps additionally pre-filter)."""
+    kind = col_kinds.get(pred_col)
+    if kind == "str":
+        if not isinstance(value, str):
+            raise ValueError("str pred_col needs a str value")
+        # hash the literal through the SAME JVM function used at encode
+        # (metadata-sized one-row job; no Python reimplementation to drift)
+        spark = blocks.sparkSession
+        probe = int(
+            spark.range(1)
+            .select(F.xxhash64(F.lit(value)).alias("h"))
+            .first()["h"]
         )
+        stats_pred = (
+            F.col("stat_min_str").isNotNull()
+            & (F.col("stat_min_str") <= value)
+            & (F.col("stat_max_str").isNull() | (F.col("stat_max_str") >= value))
+        )
+    elif kind in ("int", "int96_ts"):
+        probe = value
+        # a NULL stat (all-null chunk of a nullable column) keeps the row
+        stats_pred = F.col("stat_min").isNull() | (
+            (F.col("stat_min") <= value) & (F.col("stat_max") >= value)
+        )
+    else:
+        raise ValueError(
+            f"pred_col {pred_col!r} has kind {kind!r}; "
+            "bloom pruning needs an int, int96_ts or str column"
+        )
+
     @F.pandas_udf("boolean")
     def _might_contain(bloom: pd.Series) -> pd.Series:
         # a missing filter (high-cardinality chunk) conservatively keeps
         # the partition; bitsets are deserialized and tested where the
         # metadata rows already live
         return bloom.map(
-            lambda b: True if b is None else bloom_might_contain(bytes(b), value)
+            lambda b: True if b is None else bloom_might_contain(bytes(b), probe)
         )
 
     keep = (
         blocks.filter(F.col("column") == pred_col)
-        # stats prune first (free, JVM, pushes to the blocks scan):
-        # a NULL stat (all-null chunk of a nullable column) keeps the row
-        .filter(
-            F.col("stat_min").isNull()
-            | ((F.col("stat_min") <= value) & (F.col("stat_max") >= value))
-        )
+        # stats prune first (free, JVM, pushes to the blocks scan)
+        .filter(stats_pred)
         .filter(_might_contain(F.col("bloom")))
         .select("part_id")
         .distinct()
@@ -935,7 +981,7 @@ def roundtrip_filtered_eq(
     key_col: str,
     col_kinds: dict[str, str],
     pred_col: str,
-    value: int,
+    value: int | str,
     n_parts: int | None = None,
 ) -> DataFrame:
     """encode -> blocks -> bloom-pruned decode -> exact equality filter

@@ -601,3 +601,65 @@ def test_float_zone_maps_negative_zero_boundary(spark):
     got = dec.filter((F.col("x") >= 0.0) & (F.col("x") <= 10.0)).count()
     assert got == 100  # -0.0 >= 0.0 is TRUE row-side: nothing may vanish
     blocks.unpersist()
+
+
+# ------------------------------------------------ string bloom point lookups
+
+def test_string_bloom_pruned_equality_roundtrip(spark):
+    """Point lookup on a STRING column: blooms are built over JVM-side
+    xxhash64 (no per-row Python over string bytes), the probe literal is
+    hashed through the same Spark function, and the combination of
+    truncated string stats + bloom admits fewer partitions than exist."""
+    from parquet_python_spark.operators.generic_codec import (
+        bloom_might_contain,
+        encode_df,
+        roundtrip_filtered_eq,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kinds = {"doc_id": "int", "text": "str", "lang": "str"}
+    value = docs.select("text").first()["text"]
+
+    got = roundtrip_filtered_eq(docs, "doc_id", kinds, "text", value, n_parts=8)
+    exp = docs.select(*kinds).filter(F.col("text") == value)
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in exp.collect())
+    assert a == b and len(a) >= 1
+
+    # pruning evidence, evaluated the same way the executor-side test does
+    blocks = encode_df(docs, "doc_id", kinds, n_parts=8)
+    meta = blocks.filter(F.col("column") == "text").select(
+        "part_id", "bloom", "stat_min_str", "stat_max_str"
+    ).collect()
+    assert all(r["bloom"] is not None for r in meta)  # low-card text chunks
+    probe = int(
+        spark.range(1).select(F.xxhash64(F.lit(value)).alias("h")).first()["h"]
+    )
+    admitted = [
+        r["part_id"]
+        for r in meta
+        if (
+            r["stat_min_str"] is not None
+            and r["stat_min_str"] <= value
+            and (r["stat_max_str"] is None or r["stat_max_str"] >= value)
+        )
+        and bloom_might_contain(bytes(r["bloom"]), probe)
+    ]
+    assert len(admitted) < len(meta), (len(admitted), len(meta))
+
+
+def test_string_bloom_eq_rejects_non_str_value(spark):
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned_eq,
+        encode_df,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("s")
+    )
+    kinds = {"k": "int", "s": "str"}
+    blocks = encode_df(df, "k", kinds, n_parts=2)
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    with pytest.raises(ValueError, match="str value"):
+        decode_df_pruned_eq(blocks, "k", kinds, out_schema, "s", 7)
