@@ -257,21 +257,35 @@ def _rt_region_nation_supplier(spark, sf_dir):
 def _rt_documents_nulls(spark, sf_dir):
     # definition-level null weave (reference __init__.py:295-317,336-338):
     # inject a deterministic null pattern, round-trip it bit-identically.
-    # Forced DATA_PAGE_V2 framing + LZ4_RAW page compression (both beyond
-    # the reference, which reads V1 pages only and raises on lz4,
-    # __init__.py:234-236,273-378): levels stay uncompressed ahead of the
-    # data section with num_rows/num_nulls in the page header.
-    from parquet_python_spark.operators.generic_codec import roundtrip
+    # mode='all' forces DATA_PAGE_V2 framing + LZ4_RAW page compression
+    # (both beyond the reference, which reads V1 pages only and raises on
+    # lz4, __init__.py:234-236,273-378): levels stay uncompressed ahead of
+    # the data section with num_rows/num_nulls in the page header.
+    # mode='notnull'/'null' (round 5) exercise null-count chunk skipping:
+    # per-chunk Statistics.null_count (parsed by the reference at
+    # parquet.thrift:198-206, never consumed) prunes IS [NOT] NULL
+    # predicates before any payload is read or decoded.
+    from parquet_python_spark.operators.generic_codec import (
+        roundtrip,
+        roundtrip_filtered_null,
+    )
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang")).alias("lang_n"),
         F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(F.col("n_chars")).alias("chars_n"),
     )
-    return roundtrip(
-        docs, "doc_id", {"doc_id": "int", "lang_n": "str", "chars_n": "int"},
-        page="v2", outer="lz4_raw",
+    kinds = {"doc_id": "int", "lang_n": "str", "chars_n": "int"}
+    full = roundtrip(docs, "doc_id", kinds, page="v2", outer="lz4_raw").select(
+        F.lit("all").alias("mode"), "*"
     )
+    nn = roundtrip_filtered_null(
+        docs, "doc_id", kinds, "lang_n", want_null=False
+    ).select(F.lit("notnull").alias("mode"), "*")
+    nul = roundtrip_filtered_null(
+        docs, "doc_id", kinds, "lang_n", want_null=True
+    ).select(F.lit("null").alias("mode"), "*")
+    return full.unionAll(nn).unionAll(nul)
 
 
 def _rt_lineitem_pruned(spark, sf_dir):
@@ -1256,10 +1270,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_suppkey, s_name, 'supplier' FROM supplier"
         ),
         "rt_documents_nulls": (
-            "SELECT doc_id, "
+            "WITH base AS (SELECT doc_id, "
             "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_n, "
             "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS chars_n "
-            "FROM documents"
+            "FROM documents) "
+            "SELECT 'all' AS mode, * FROM base "
+            "UNION ALL SELECT 'notnull' AS mode, * FROM base WHERE lang_n IS NOT NULL "
+            "UNION ALL SELECT 'null' AS mode, * FROM base WHERE lang_n IS NULL"
         ),
         "rt_lineitem_pruned": (
             "SELECT 'range' AS mode, l_orderkey, l_partkey, l_quantity "

@@ -83,6 +83,11 @@ BLOCKS_SCHEMA = T.StructType(
         # Fixed 16-char cap keeps metadata rows small at any value width
         T.StructField("stat_min_str", T.StringType(), True),
         T.StructField("stat_max_str", T.StringType(), True),
+        # per-chunk null count (Parquet Statistics.null_count analog —
+        # parsed by the reference at parquet.thrift:198-206, never used):
+        # drives IS NULL / IS NOT NULL chunk skipping in
+        # decode_df_pruned_null for every scalar kind
+        T.StructField("n_nulls", T.LongType(), False),
     ]
 )
 
@@ -103,6 +108,7 @@ _BLOCKS_ARROW = pa.schema(
         ("page_stats", pa.binary()),
         ("stat_min_str", pa.string()),
         ("stat_max_str", pa.string()),
+        ("n_nulls", pa.int64()),
     ]
 )
 
@@ -195,12 +201,89 @@ def _page_stats_blob(vals: np.ndarray) -> bytes | None:
     return int(PAGE_ROWS).to_bytes(4, "little") + pairs.tobytes()
 
 
+# high bit of the leading page_rows word tags the STRING page-stats blob
+# format (variable-width truncated bounds) apart from the fixed int64-pair
+# format — a kind-mismatched parse must fail loudly, not fabricate ranges
+_PAGE_STATS_STR_TAG = 0x8000_0000
+
+
+def _str_page_stats_blob(arr: pa.Array) -> bytes | None:
+    """Per-page TRUNCATED string bounds inside a no-null string chunk
+    (ColumnIndex per-page analog of _str_stats; same truncation semantics
+    — prefix lower bound, successor upper bound, absent upper = unbounded).
+    Wire: [4B u32: page_rows | STR_TAG] then per page
+    [1B lo_len][lo utf8][1B hi_len or 0xFF = unbounded][hi utf8];
+    bound lengths fit 1 byte (<= STR_STAT_CHARS chars -> <= 64 utf8 bytes).
+    None when the chunk is a single page."""
+    n = len(arr)
+    if n <= PAGE_ROWS:
+        return None
+    out = bytearray(
+        int(PAGE_ROWS | _PAGE_STATS_STR_TAG).to_bytes(4, "little")
+    )
+    for s in range(0, n, PAGE_ROWS):
+        lo, hi = _str_stats(arr.slice(s, PAGE_ROWS))
+        lo_b = lo.encode("utf-8")
+        out.append(len(lo_b))
+        out += lo_b
+        if hi is None:
+            out.append(0xFF)
+        else:
+            hi_b = hi.encode("utf-8")
+            out.append(len(hi_b))
+            out += hi_b
+    return bytes(out)
+
+
+def _page_keep_ranges_str(
+    blob: bytes, n_rows: int, lo: str, hi: str
+) -> list[tuple[int, int]] | None:
+    """String twin of _page_keep_ranges over the truncated per-page bounds
+    (bounds are conservative, so a surviving page MAY contain matches; a
+    skipped page CANNOT)."""
+    head = int.from_bytes(blob[:4], "little")
+    if not head & _PAGE_STATS_STR_TAG:
+        raise ValueError("int page-stats blob passed to the str parser")
+    page_rows = head & ~_PAGE_STATS_STR_TAG
+    keep_pages: list[bool] = []
+    pos = 4
+    while pos < len(blob):
+        nlo = blob[pos]
+        pos += 1
+        p_lo = blob[pos : pos + nlo].decode("utf-8")
+        pos += nlo
+        nhi = blob[pos]
+        pos += 1
+        if nhi == 0xFF:
+            p_hi = None
+        else:
+            p_hi = blob[pos : pos + nhi].decode("utf-8")
+            pos += nhi
+        keep_pages.append((p_hi is None or p_hi >= lo) and p_lo <= hi)
+    if -(-n_rows // page_rows) != len(keep_pages):
+        raise ValueError("str page-stats blob page count mismatch")
+    if all(keep_pages):
+        return None
+    ranges: list[tuple[int, int]] = []
+    for p, k in enumerate(keep_pages):
+        if not k:
+            continue
+        s, e = p * page_rows, min(n_rows, (p + 1) * page_rows)
+        if ranges and ranges[-1][1] == s:
+            ranges[-1] = (ranges[-1][0], e)
+        else:
+            ranges.append((s, e))
+    return ranges
+
+
 def _page_keep_ranges(
     blob: bytes, n_rows: int, lo: int, hi: int
 ) -> list[tuple[int, int]] | None:
     """Row ranges whose pages MAY intersect [lo, hi] (merged-contiguous);
     None means 'keep everything' (no stats or every page survives)."""
     page_rows = int.from_bytes(blob[:4], "little")
+    if page_rows & _PAGE_STATS_STR_TAG:
+        raise ValueError("str page-stats blob passed to the int parser")
     stats = np.frombuffer(blob, dtype="<i8", offset=4).reshape(-1, 2)
     keep = (stats[:, 1] >= lo) & (stats[:, 0] <= hi)
     if keep.all():
@@ -585,7 +668,8 @@ def encode_df(
         rows = []
 
         def add(column, codec, params, payload, n_values, stats=(None, None),
-                bloom=None, page_stats=None, str_stats=(None, None)):
+                bloom=None, page_stats=None, str_stats=(None, None),
+                n_nulls=0):
             rows.append(
                 {
                     "part_id": part_id,
@@ -603,6 +687,7 @@ def encode_df(
                     "page_stats": page_stats,
                     "stat_min_str": str_stats[0],
                     "stat_max_str": str_stats[1],
+                    "n_nulls": n_nulls,
                 }
             )
 
@@ -648,6 +733,10 @@ def encode_df(
                         )
                 elif kind == "str":
                     sstats = _str_stats(arr)
+                    if arr.null_count == 0:
+                        # per-page truncated bounds (same row-alignment
+                        # caveat as the int page stats)
+                        pstats = _str_page_stats_blob(arr)
                     if build_blooms:
                         # bloom over the JVM-computed xxhash64 values
                         # (row-aligned; drop slots where the string is null)
@@ -678,7 +767,8 @@ def encode_df(
                         if arr.null_count == 0:
                             pstats = _page_stats_blob(ob)
                 c, p, payload, nv = _encode_values(arr, kind, forced, page, outer)
-                add(col, c, p, payload, nv, stats, bloom, pstats, sstats)
+                add(col, c, p, payload, nv, stats, bloom, pstats, sstats,
+                    n_nulls=arr.null_count)
         return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
 
     return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
@@ -772,7 +862,12 @@ def decode_df(
             prow = by_col.get(pcol)
             pstats = prow.get("page_stats") if prow else None
             if pstats:
-                ranges = _page_keep_ranges(bytes(pstats), n_rows, lo, hi)
+                keep_fn = (
+                    _page_keep_ranges_str
+                    if isinstance(lo, str)
+                    else _page_keep_ranges
+                )
+                ranges = keep_fn(bytes(pstats), n_rows, lo, hi)
         if ranges == []:
             # chunk-level stats passed but EVERY page misses the predicate
             # (bounds straddle a gap between pages): nothing to decode —
@@ -860,7 +955,9 @@ def decode_df_pruned(
             & (F.col("stat_max_str").isNull() | (F.col("stat_max_str") >= lo))
             & (F.col("stat_min_str") <= hi)
         )
-        page_prune = None  # page stats are int-only
+        # surviving chunks additionally skip pages via the per-page
+        # truncated string bounds (str twin of the int page stats)
+        page_prune = (pred_col, lo, hi)
     elif kind in ("float64", "float32"):
         if any(
             isinstance(b, bool) or not isinstance(b, (int, float))
@@ -976,6 +1073,46 @@ def decode_df_pruned_eq(
     return decode_df(pruned, key_col, col_kinds, out_schema)
 
 
+def decode_df_pruned_null(
+    blocks: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    out_schema: T.StructType,
+    pred_col: str,
+    want_null: bool,
+) -> DataFrame:
+    """IS NULL / IS NOT NULL chunk skipping via the per-chunk null counts
+    (Parquet Statistics.null_count analog — the reference parses it,
+    parquet.thrift:198-206, and never consumes it).  ``want_null=True``
+    decodes only chunks containing at least one null; ``False`` only
+    chunks with at least one present value.  Exact counts (not min/max
+    bounds), so the skip is airtight for every scalar kind — callers
+    still re-apply the row predicate because surviving chunks hold a mix.
+    Same scale shape as the stats prune: a plain pushed-down column
+    predicate feeds a broadcast semi join; skipped payloads are never
+    read, shuffled, or decoded."""
+    kind = col_kinds.get(pred_col)
+    if kind is None or kind in _LIST_KINDS:
+        # list columns reject nulls at encode (encode_df raises), so a
+        # null predicate on one is a caller bug — fail loudly
+        raise ValueError(
+            f"pred_col {pred_col!r} has kind {kind!r}; "
+            "null-count pruning needs a scalar column"
+        )
+    cond = (
+        F.col("n_nulls") > 0
+        if want_null
+        else F.col("n_nulls") < F.col("n_rows")
+    )
+    keep = (
+        blocks.filter((F.col("column") == pred_col) & cond)
+        .select("part_id")
+        .distinct()
+    )
+    pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
+    return decode_df(pruned, key_col, col_kinds, out_schema)
+
+
 def roundtrip_filtered_eq(
     df: DataFrame,
     key_col: str,
@@ -1043,6 +1180,39 @@ def roundtrip_filtered(
     )
     out = decoded.filter(
         (F.col(pred_col) >= lo) & (F.col(pred_col) <= hi)
+    )
+    return out.select(
+        *[
+            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
+            for f in in_schema.fields
+        ]
+    )
+
+
+def roundtrip_filtered_null(
+    df: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    pred_col: str,
+    want_null: bool,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """encode -> blocks -> null-count-pruned decode -> exact IS [NOT] NULL
+    filter (the null-predicate twin of roundtrip_filtered)."""
+    from pyspark import StorageLevel
+
+    cols = list(col_kinds)
+    in_schema = df.select(*cols).schema
+    blocks = encode_df(
+        df, key_col, col_kinds, n_parts, partitioning="range"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _retain_filtered_blocks(blocks)
+    decoded = decode_df_pruned_null(
+        blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
+        pred_col, want_null,
+    )
+    out = decoded.filter(
+        F.col(pred_col).isNull() if want_null else F.col(pred_col).isNotNull()
     )
     return out.select(
         *[

@@ -663,3 +663,191 @@ def test_string_bloom_eq_rejects_non_str_value(spark):
     out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
     with pytest.raises(ValueError, match="str value"):
         decode_df_pruned_eq(blocks, "k", kinds, out_schema, "s", 7)
+
+
+# ------------------------------------------- null-count stats (IS NULL prune)
+
+
+def test_null_count_stats_and_pruned_decode(spark):
+    """Chunks carry exact null counts, and decode_df_pruned_null skips
+    whole chunks for IS NULL / IS NOT NULL predicates — the
+    Statistics.null_count consumption the reference never does.  Nulls
+    are concentrated in the low key range so range partitioning makes
+    the skip observable."""
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned_null,
+        encode_df,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 5_000, None).otherwise(F.col("id")).alias("w"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("s"),
+    )
+    kinds = {"k": "int", "w": "int", "s": "str"}
+    blocks = encode_df(
+        df, "k", kinds, n_parts=4, partitioning="range"
+    ).cache()
+    # exact per-chunk null counts, and they sum to the injected total
+    wrows = blocks.filter(F.col("column") == "w").collect()
+    assert sum(r["n_nulls"] for r in wrows) == 5_000
+    assert all(r["n_nulls"] == 0 for r in blocks.filter(F.col("column") == "k").collect())
+
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    # IS NULL: only null-bearing chunks decode (nulls live in one part)
+    dec_null = decode_df_pruned_null(
+        blocks, "k", kinds, out_schema, "w", want_null=True
+    ).cache()
+    assert dec_null.count() < 20_000  # skipped the null-free chunks
+    got = sorted(
+        r["k"] for r in dec_null.filter(F.col("w").isNull()).collect()
+    )
+    assert got == list(range(5_000))
+    dec_null.unpersist()
+    # IS NOT NULL: the all-null chunk is skipped
+    dec_nn = decode_df_pruned_null(
+        blocks, "k", kinds, out_schema, "w", want_null=False
+    ).cache()
+    assert dec_nn.count() < 20_000
+    got_nn = sorted(
+        (r["k"], r["w"], r["s"])
+        for r in dec_nn.filter(F.col("w").isNotNull()).collect()
+    )
+    exp_nn = sorted(
+        (r["k"], r["w"], r["s"])
+        for r in df.filter(F.col("w").isNotNull()).collect()
+    )
+    assert got_nn == exp_nn
+    dec_nn.unpersist()
+    blocks.unpersist()
+
+
+def test_null_pruning_rejects_list_kind(spark):
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned_null,
+        encode_df,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.array(F.col("id").cast("int")).alias("a"),
+    )
+    kinds = {"k": "int", "a": "int_list"}
+    blocks = encode_df(df, "k", kinds, n_parts=2)
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    with pytest.raises(ValueError, match="scalar column"):
+        decode_df_pruned_null(blocks, "k", kinds, out_schema, "a", True)
+    with pytest.raises(ValueError, match="scalar column"):
+        decode_df_pruned_null(blocks, "k", kinds, out_schema, "zz", False)
+
+
+def test_roundtrip_filtered_null_end_to_end(spark):
+    from parquet_python_spark.operators.generic_codec import (
+        roundtrip_filtered_null,
+    )
+
+    df = spark.range(8_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.concat(F.lit("v"), F.col("id").cast("string")))
+        .alias("t"),
+    )
+    kinds = {"k": "int", "t": "str"}
+    out = roundtrip_filtered_null(df, "k", kinds, "t", want_null=True, n_parts=4)
+    got = sorted(r["k"] for r in out.collect())
+    exp = sorted(r["k"] for r in df.filter(F.col("t").isNull()).collect())
+    assert got == exp
+    out2 = roundtrip_filtered_null(df, "k", kinds, "t", want_null=False, n_parts=4)
+    got2 = sorted((r["k"], r["t"]) for r in out2.collect())
+    exp2 = sorted(
+        (r["k"], r["t"]) for r in df.filter(F.col("t").isNotNull()).collect()
+    )
+    assert got2 == exp2
+
+
+# --------------------------------------------- string page-level zone maps
+
+
+def test_str_page_stats_blob_semantics():
+    """Kernel-level: per-page truncated bounds parse back and classify
+    pages correctly, including the unbounded-upper page and the format
+    tag that keeps int/str blobs from cross-parsing."""
+    import pyarrow as pa
+
+    from parquet_python_spark.operators.generic_codec import (
+        PAGE_ROWS,
+        STR_STAT_CHARS,
+        _page_keep_ranges,
+        _page_keep_ranges_str,
+        _str_page_stats_blob,
+    )
+
+    n = 3 * PAGE_ROWS + 100
+    vals = [f"k{i:08d}" for i in range(n)]  # sorted, < cap chars: exact bounds
+    arr = pa.array(vals)
+    blob = _str_page_stats_blob(arr)
+    assert blob is not None
+    # single-page chunk: no blob
+    assert _str_page_stats_blob(pa.array(vals[:100])) is None
+    # narrow range inside page 1 -> exactly that page survives
+    lo, hi = f"k{PAGE_ROWS + 10:08d}", f"k{PAGE_ROWS + 20:08d}"
+    assert _page_keep_ranges_str(blob, n, lo, hi) == [(PAGE_ROWS, 2 * PAGE_ROWS)]
+    # range covering everything -> None (no-op)
+    assert _page_keep_ranges_str(blob, n, "k", "l") is None
+    # unbounded upper: a page whose truncated max can't increment keeps
+    # every probe above its lower bound
+    big = chr(0x10FFFF) * (STR_STAT_CHARS + 4)
+    vals2 = [f"a{i:08d}" for i in range(PAGE_ROWS)] + [big] * PAGE_ROWS
+    blob2 = _str_page_stats_blob(pa.array(vals2))
+    r = _page_keep_ranges_str(blob2, 2 * PAGE_ROWS, big, big + "x")
+    assert r == [(PAGE_ROWS, 2 * PAGE_ROWS)]
+    # tag mismatch fails loudly in both directions
+    with pytest.raises(ValueError, match="str parser"):
+        _page_keep_ranges_str(
+            int(PAGE_ROWS).to_bytes(4, "little") + b"\0" * 16, n, "a", "b"
+        )
+    with pytest.raises(ValueError, match="int parser"):
+        _page_keep_ranges(blob, n, 0, 10)
+
+
+def test_string_page_stats_prune_and_exact(spark):
+    """Spark e2e: a >PAGE_ROWS string chunk skips intra-chunk pages on a
+    narrow string range — rows surfaced before the exact filter stay under
+    the surviving chunk's size — and the filtered result is exact."""
+    from parquet_python_spark.operators.generic_codec import (
+        PAGE_ROWS,
+        _arrow_safe_schema,
+        decode_df_pruned,
+        encode_df,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("s"),
+    )
+    kinds = {"k": "int", "s": "str"}
+    # 2 range parts -> ~10k-row chunks, 3 pages each
+    blocks = encode_df(
+        df, "k", kinds, n_parts=2, partitioning="range"
+    ).cache()
+    srows = blocks.filter(F.col("column") == "s").collect()
+    assert all(r["page_stats"] is not None for r in srows)
+    lo, hi = "d00005000", "d00006000"
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "s", lo, hi).cache()
+    pre_filter = dec.count()
+    assert pre_filter <= 2 * PAGE_ROWS, pre_filter
+    assert pre_filter >= 1001
+    got = sorted(
+        (r["k"], r["s"])
+        for r in dec.filter((F.col("s") >= lo) & (F.col("s") <= hi)).collect()
+    )
+    exp = sorted(
+        (r["k"], r["s"])
+        for r in df.filter((F.col("s") >= lo) & (F.col("s") <= hi)).collect()
+    )
+    assert got == exp
+    dec.unpersist()
+    blocks.unpersist()
