@@ -177,24 +177,34 @@ TARGET_ROWS_PER_PART = 262_144
 PAGE_ROWS = 4096
 
 
-def _page_stats_blob(vals: np.ndarray) -> bytes | None:
+def _page_stats_blob(
+    vals: np.ndarray, valid: np.ndarray | None = None
+) -> bytes | None:
     """Per-page (min, max) over chunk-order values; None when the chunk is
-    a single page (chunk-level stats already cover it)."""
+    a single page (chunk-level stats already cover it).  ``valid`` marks
+    present ROW slots for a null-bearing chunk: null slots carry
+    (+max, -min) sentinels so they never widen a page's bounds, and an
+    all-null page degenerates to min > max — unsatisfiable by any [lo, hi],
+    so it is skipped (a null never matches a range predicate)."""
     n = len(vals)
     if n <= PAGE_ROWS:
         return None
     vals = np.asarray(vals, dtype=np.int64)
+    if valid is None:
+        mins_src = maxs_src = vals
+    else:
+        mins_src = np.where(valid, vals, np.iinfo(np.int64).max)
+        maxs_src = np.where(valid, vals, np.iinfo(np.int64).min)
     n_pages = -(-n // PAGE_ROWS)
     mins = np.empty(n_pages, dtype=np.int64)
     maxs = np.empty(n_pages, dtype=np.int64)
     full = (n // PAGE_ROWS) * PAGE_ROWS
     if full:
-        m = vals[:full].reshape(-1, PAGE_ROWS)
-        mins[: full // PAGE_ROWS] = m.min(axis=1)
-        maxs[: full // PAGE_ROWS] = m.max(axis=1)
+        mins[: full // PAGE_ROWS] = mins_src[:full].reshape(-1, PAGE_ROWS).min(axis=1)
+        maxs[: full // PAGE_ROWS] = maxs_src[:full].reshape(-1, PAGE_ROWS).max(axis=1)
     if full < n:
-        mins[-1] = vals[full:].min()
-        maxs[-1] = vals[full:].max()
+        mins[-1] = mins_src[full:].min()
+        maxs[-1] = maxs_src[full:].max()
     pairs = np.empty((n_pages, 2), dtype="<i8")
     pairs[:, 0] = mins
     pairs[:, 1] = maxs
@@ -212,8 +222,11 @@ def _str_page_stats_blob(arr: pa.Array) -> bytes | None:
     (ColumnIndex per-page analog of _str_stats; same truncation semantics
     — prefix lower bound, successor upper bound, absent upper = unbounded).
     Wire: [4B u32: page_rows | STR_TAG] then per page
-    [1B lo_len][lo utf8][1B hi_len or 0xFF = unbounded][hi utf8];
-    bound lengths fit 1 byte (<= STR_STAT_CHARS chars -> <= 64 utf8 bytes).
+    [1B lo_len][lo utf8][1B hi_len or 0xFF = unbounded][hi utf8], except
+    an ALL-NULL page which is the single byte 0xFE (skippable: a null
+    never matches a range predicate).  Bound lengths fit 1 byte
+    (<= STR_STAT_CHARS chars -> <= 64 utf8 bytes).  Null slots never
+    widen a page's bounds (pc.min_max skips them inside _str_stats).
     None when the chunk is a single page."""
     n = len(arr)
     if n <= PAGE_ROWS:
@@ -223,6 +236,9 @@ def _str_page_stats_blob(arr: pa.Array) -> bytes | None:
     )
     for s in range(0, n, PAGE_ROWS):
         lo, hi = _str_stats(arr.slice(s, PAGE_ROWS))
+        if lo is None:  # all-null page
+            out.append(0xFE)
+            continue
         lo_b = lo.encode("utf-8")
         out.append(len(lo_b))
         out += lo_b
@@ -250,6 +266,9 @@ def _page_keep_ranges_str(
     while pos < len(blob):
         nlo = blob[pos]
         pos += 1
+        if nlo == 0xFE:  # all-null page: no value can match a range
+            keep_pages.append(False)
+            continue
         p_lo = blob[pos : pos + nlo].decode("utf-8")
         pos += nlo
         nhi = blob[pos]
@@ -726,17 +745,27 @@ def encode_df(
                             present.to_numpy(zero_copy_only=False)
                         )
                     if arr.null_count == 0:
-                        # sub-chunk zone maps (page row offsets only line
-                        # up with value offsets when nothing is null)
                         pstats = _page_stats_blob(
                             arr.to_numpy(zero_copy_only=False)
                         )
+                    else:
+                        # null-bearing chunks keep page stats too: null
+                        # ROW slots carry sentinels that never widen a
+                        # page's bounds (the payload-slice fast path stays
+                        # gated off; the full-decode + row-slice fallback
+                        # is null-exact)
+                        valid = pc.is_valid(arr).to_numpy(
+                            zero_copy_only=False
+                        )
+                        filled = pc.fill_null(arr, 0).to_numpy(
+                            zero_copy_only=False
+                        )
+                        pstats = _page_stats_blob(filled, valid)
                 elif kind == "str":
                     sstats = _str_stats(arr)
-                    if arr.null_count == 0:
-                        # per-page truncated bounds (same row-alignment
-                        # caveat as the int page stats)
-                        pstats = _str_page_stats_blob(arr)
+                    # per-page truncated bounds; null slots never widen a
+                    # page's bounds, all-null pages are marked skippable
+                    pstats = _str_page_stats_blob(arr)
                     if build_blooms:
                         # bloom over the JVM-computed xxhash64 values
                         # (row-aligned; drop slots where the string is null)
@@ -755,17 +784,30 @@ def encode_df(
                     # the order-preserving bits transform (exact monotone,
                     # NaN sorts greatest — same as Spark)
                     if len(arr) and arr.null_count < len(arr):
-                        present = (
-                            pc.drop_null(arr) if arr.null_count else arr
-                        )
-                        ob = _float_ordered_bits(
-                            present.to_numpy(zero_copy_only=False).astype(
+                        if arr.null_count == 0:
+                            ob = _float_ordered_bits(
+                                arr.to_numpy(zero_copy_only=False).astype(
+                                    np.float64, copy=False
+                                )
+                            )
+                            stats = (int(ob.min()), int(ob.max()))
+                            pstats = _page_stats_blob(ob)
+                        else:
+                            # null slots surface as NaN in to_numpy — zero
+                            # them BEFORE the ordered-bits transform (NaN
+                            # maps greatest and would corrupt page maxima),
+                            # then sentinel-mask them out of the stats
+                            valid = pc.is_valid(arr).to_numpy(
+                                zero_copy_only=False
+                            )
+                            f = arr.to_numpy(zero_copy_only=False).astype(
                                 np.float64, copy=False
                             )
-                        )
-                        stats = (int(ob.min()), int(ob.max()))
-                        if arr.null_count == 0:
-                            pstats = _page_stats_blob(ob)
+                            ob = _float_ordered_bits(np.where(valid, f, 0.0))
+                            stats = (
+                                int(ob[valid].min()), int(ob[valid].max())
+                            )
+                            pstats = _page_stats_blob(ob, valid)
                 c, p, payload, nv = _encode_values(arr, kind, forced, page, outer)
                 add(col, c, p, payload, nv, stats, bloom, pstats, sstats,
                     n_nulls=arr.null_count)

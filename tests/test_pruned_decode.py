@@ -299,9 +299,10 @@ def test_page_stats_subrange_skip_and_exactness(spark):
     ).cache()
     krows = blocks.filter(F.col("column") == "k").collect()
     assert all(r["page_stats"] is not None for r in krows)
-    # null-bearing column gets no page stats (value/row offsets diverge)
+    # null-bearing columns keep page stats too (round 5): null row slots
+    # carry sentinels, so bounds stay exact over present values
     wrows = blocks.filter(F.col("column") == "w").collect()
-    assert all(r["page_stats"] is None for r in wrows)
+    assert all(r["page_stats"] is not None for r in wrows)
 
     lo, hi = 5_000, 6_000
     out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
@@ -850,4 +851,91 @@ def test_string_page_stats_prune_and_exact(spark):
     )
     assert got == exp
     dec.unpersist()
+    blocks.unpersist()
+
+
+def test_nullable_page_stats_prune_and_exact(spark):
+    """Round 5: null-bearing chunks keep page-granularity pruning for all
+    three stat kinds.  Null slots never widen page bounds (sentinel mask),
+    a float NaN *data* value is still honored as greatest, and an all-null
+    string page is skipped outright."""
+    import math
+
+    from parquet_python_spark.operators.generic_codec import (
+        PAGE_ROWS,
+        _arrow_safe_schema,
+        decode_df_pruned,
+        encode_df,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        # int: every 5th row null, values track the key
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("w"),
+        # float: nulls scattered; a data NaN planted at a known key
+        F.when(F.col("id") % 7 == 0, None)
+        .when(F.col("id") == 778, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("f"),
+        # str: an entire aligned page range is all-null
+        F.when(
+            (F.col("id") >= PAGE_ROWS) & (F.col("id") < 2 * PAGE_ROWS), None
+        )
+        .otherwise(F.concat(F.lit("d"), F.lpad(F.col("id").cast("string"), 8, "0")))
+        .alias("s"),
+    )
+    kinds = {"k": "int", "w": "int", "f": "float64", "s": "str"}
+    # 2 range parts -> ~10k-row chunks, 3 pages each
+    blocks = encode_df(df, "k", kinds, n_parts=2, partitioning="range").cache()
+    for c in ("w", "f", "s"):
+        rows = blocks.filter(F.col("column") == c).collect()
+        assert all(r["page_stats"] is not None for r in rows), c
+
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    # --- int nullable predicate: narrow range -> page skip + exact rows
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "w", 5_000, 6_000).cache()
+    assert dec.count() <= 2 * PAGE_ROWS
+    got = sorted(
+        (r["k"], r["w"])
+        for r in dec.filter((F.col("w") >= 5_000) & (F.col("w") <= 6_000)).collect()
+    )
+    exp = sorted(
+        (r["k"], r["w"])
+        for r in df.filter((F.col("w") >= 5_000) & (F.col("w") <= 6_000)).collect()
+    )
+    assert got == exp
+    dec.unpersist()
+    # --- float nullable predicate: exactness incl. null weave; the page
+    # holding the NaN data value survives a top-end range (NaN greatest)
+    dec_f = decode_df_pruned(
+        blocks, "k", kinds, out_schema, "f", 5_000.0, 6_000.0
+    ).cache()
+    assert dec_f.count() <= 2 * PAGE_ROWS
+    got_f = sorted(
+        (r["k"], r["f"])
+        for r in dec_f.filter((F.col("f") >= 5_000.0) & (F.col("f") <= 6_000.0)).collect()
+    )
+    exp_f = sorted(
+        (r["k"], r["f"])
+        for r in df.filter((F.col("f") >= 5_000.0) & (F.col("f") <= 6_000.0)).collect()
+    )
+    assert got_f == exp_f
+    nan_page = decode_df_pruned(
+        blocks, "k", kinds, out_schema, "f", float("nan"), float("nan")
+    )
+    assert any(
+        r["k"] == 778 and math.isnan(r["f"])
+        for r in nan_page.filter(F.isnan("f")).collect()
+    )
+    dec_f.unpersist()
+    # --- str: the all-null page is skipped for a range that targets it
+    lo_s = f"d{PAGE_ROWS + 10:08d}"
+    hi_s = f"d{PAGE_ROWS + 500:08d}"
+    dec_s = decode_df_pruned(blocks, "k", kinds, out_schema, "s", lo_s, hi_s).cache()
+    # every row in [PAGE_ROWS, 2*PAGE_ROWS) is null in s, so the only
+    # surviving rows come from boundary pages — and no matches exist
+    assert dec_s.filter((F.col("s") >= lo_s) & (F.col("s") <= hi_s)).count() == 0
+    assert dec_s.count() < n // 2  # skipped at least the all-null page
+    dec_s.unpersist()
     blocks.unpersist()
