@@ -257,6 +257,20 @@ def main() -> None:
          "checkpointed RDD (lineage bounded per round)", ok, p)
     )
 
+    # 24. null-count prune (IS NULL / IS NOT NULL chunk skipping): same
+    # broadcast left-semi shape as the stats prune — the n_nulls predicate
+    # is a plain pushed-down column filter, surviving part_ids broadcast
+    p = _plan(qs["rt_documents_nulls"](spark, sf_dir))
+    ok = (
+        "LeftSemi" in p
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "n_nulls" in p
+    )
+    checks.append(
+        ("rt_documents_nulls: broadcast left-semi null-count prune", ok, p)
+    )
+
     n_bad = 0
     for name, ok, plan in checks:
         mark = "PASS" if ok else "FAIL"
