@@ -298,6 +298,7 @@ def _rt_lineitem_pruned(spark, sf_dir):
     from parquet_python_spark.operators.generic_codec import (
         roundtrip_filtered,
         roundtrip_filtered_eq,
+        roundtrip_filtered_multi,
     )
 
     li = _t(spark, sf_dir, "lineitem")
@@ -308,7 +309,18 @@ def _rt_lineitem_pruned(spark, sf_dir):
     eq = roundtrip_filtered_eq(
         li, "l_orderkey", kinds, "l_orderkey", 1234
     ).select(F.lit("eq").alias("mode"), "*")
-    return rng.unionAll(eq)
+    # mode='multi' (round 5): conjunctive pruning — keep sets intersect
+    # across predicates (chained broadcast semi joins), page ranges
+    # intersect inside surviving chunks; selectivities multiply
+    multi = roundtrip_filtered_multi(
+        li, "l_orderkey", kinds,
+        [
+            ("range", "l_orderkey", 1000, 3000),
+            ("range", "l_quantity", 10.0, 20.0),
+            ("notnull", "l_partkey"),
+        ],
+    ).select(F.lit("multi").alias("mode"), "*")
+    return rng.unionAll(eq).unionAll(multi)
 
 
 def _rt_fixture_nation(spark, sf_dir):
@@ -1283,7 +1295,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000 "
             "UNION ALL "
             "SELECT 'eq' AS mode, l_orderkey, l_partkey, l_quantity "
-            "FROM lineitem WHERE l_orderkey = 1234"
+            "FROM lineitem WHERE l_orderkey = 1234 "
+            "UNION ALL "
+            "SELECT 'multi' AS mode, l_orderkey, l_partkey, l_quantity "
+            "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000 "
+            "AND l_quantity BETWEEN 10.0 AND 20.0 "
+            "AND l_partkey IS NOT NULL"
         ),
         "rt_fixture_nation": _nation_fixture_oracle(),
         "sink_roundtrips": (

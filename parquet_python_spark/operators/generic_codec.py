@@ -295,6 +295,28 @@ def _page_keep_ranges_str(
     return ranges
 
 
+def _intersect_ranges(
+    a: list[tuple[int, int]] | None, b: list[tuple[int, int]] | None
+) -> list[tuple[int, int]] | None:
+    """Intersection of two sorted disjoint row-range lists; None is the
+    'keep everything' identity.  [] means nothing survives."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    out: list[tuple[int, int]] = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        s, e = max(a[i][0], b[j][0]), min(a[i][1], b[j][1])
+        if s < e:
+            out.append((s, e))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
 def _page_keep_ranges(
     blob: bytes, n_rows: int, lo: int, hi: int
 ) -> list[tuple[int, int]] | None:
@@ -878,38 +900,49 @@ def decode_df(
     key_col: str,
     col_kinds: dict[str, str],
     out_schema: T.StructType,
-    prune: tuple[str, int, int] | None = None,
+    prune: tuple | list[tuple] | None = None,
 ) -> DataFrame:
     """Inverse of :func:`encode_df`; returns rows bit-identical to input.
 
-    ``prune=(pred_col, lo, hi)``: consult pred_col's per-page zone maps
-    (page_stats) and decode only the row sub-ranges whose pages may
-    intersect [lo, hi] — the intra-chunk skip that keeps pruning selective
-    as chunks grow with scale.  Output is a SUPERSET of the matching rows
-    (callers re-apply the exact predicate); columns stay row-aligned
-    because every column slices to the same ranges."""
+    ``prune=(pred_col, lo, hi)`` — or a LIST of such tuples for a
+    conjunction — consults each pred_col's per-page zone maps
+    (page_stats) and decodes only the row sub-ranges whose pages may
+    intersect every [lo, hi] (range intersection across predicates) —
+    the intra-chunk skip that keeps pruning selective as chunks grow
+    with scale.  Output is a SUPERSET of the matching rows (callers
+    re-apply the exact predicate); columns stay row-aligned because
+    every column slices to the same ranges."""
 
     # arrow image of the output schema, for the all-pages-pruned early exit
     # (a zero-row table without touching any payload)
     from pyspark.sql.pandas.types import to_arrow_schema
 
     empty_out = pa.Table.from_pylist([], schema=to_arrow_schema(out_schema))
+    prunes = (
+        [] if prune is None
+        else [prune] if isinstance(prune, tuple)
+        else list(prune)
+    )
 
     def dec(tbl: pa.Table) -> pa.Table:
         by_col = {r["column"]: r for r in tbl.to_pylist()}
         n_rows = int(next(iter(by_col.values()))["n_rows"])
         ranges: list[tuple[int, int]] | None = None
-        if prune is not None:
-            pcol, lo, hi = prune
+        for pcol, lo, hi in prunes:
             prow = by_col.get(pcol)
             pstats = prow.get("page_stats") if prow else None
-            if pstats:
-                keep_fn = (
-                    _page_keep_ranges_str
-                    if isinstance(lo, str)
-                    else _page_keep_ranges
-                )
-                ranges = keep_fn(bytes(pstats), n_rows, lo, hi)
+            if not pstats:
+                continue
+            keep_fn = (
+                _page_keep_ranges_str
+                if isinstance(lo, str)
+                else _page_keep_ranges
+            )
+            ranges = _intersect_ranges(
+                ranges, keep_fn(bytes(pstats), n_rows, lo, hi)
+            )
+            if ranges == []:
+                break
         if ranges == []:
             # chunk-level stats passed but EVERY page misses the predicate
             # (bounds straddle a gap between pages): nothing to decode —
@@ -988,7 +1021,18 @@ def decode_df_pruned(
     Parquet ColumnIndex truncation semantics — stat_min_str is a prefix
     of the min, stat_max_str the truncated max's successor, NULL =
     unbounded, so the filter stays conservative at any value width)."""
-    kind = col_kinds.get(pred_col)
+    return decode_df_pruned_multi(
+        blocks, key_col, col_kinds, out_schema,
+        [("range", pred_col, lo, hi)],
+    )
+
+
+def _range_keep(
+    kind: str | None, pred_col: str, lo, hi
+) -> tuple:
+    """(metadata keep predicate, page-prune tuple or None) for a range
+    predicate — the kind dispatch shared by the single- and
+    multi-predicate prunes."""
     if kind == "str":
         if not (isinstance(lo, str) and isinstance(hi, str)):
             raise ValueError("str pred_col needs str bounds")
@@ -1033,11 +1077,123 @@ def decode_df_pruned(
             f"pred_col {pred_col!r} has kind {kind!r}; "
             "min/max pruning needs an int, int96_ts, float or str column"
         )
-    keep = blocks.filter(keep_pred).select("part_id").distinct()
-    pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
-    # surviving chunks additionally skip intra-chunk page sub-ranges via
-    # the per-page zone maps (page_stats) — see decode_df
-    return decode_df(pruned, key_col, col_kinds, out_schema, prune=page_prune)
+    return keep_pred, page_prune
+
+
+def _bloom_keep_udf(probe: int):
+    """Executor-side Bloom membership test over the metadata rows — a
+    factory so each predicate binds its own probe (a loop-shared closure
+    would late-bind to the last probe at pickle time).  A missing filter
+    (high-cardinality chunk) conservatively keeps the partition; bitsets
+    are deserialized and tested where the metadata rows already live —
+    never on the driver."""
+
+    @F.pandas_udf("boolean")
+    def _might_contain(bloom: pd.Series) -> pd.Series:
+        return bloom.map(
+            lambda b: True if b is None else bloom_might_contain(bytes(b), probe)
+        )
+
+    return _might_contain
+
+
+def decode_df_pruned_multi(
+    blocks: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    out_schema: T.StructType,
+    preds: list[tuple],
+) -> DataFrame:
+    """Conjunctive (AND) predicate pruning: a partition decodes only when
+    EVERY predicate admits it, and surviving chunks decode only the
+    INTERSECTION of each predicate's page row ranges — selectivities
+    multiply, which is exactly what makes pruning pay at 100x scale.
+
+    ``preds`` entries: ``("range", col, lo, hi)``, ``("eq", col, value)``,
+    ``("isnull", col)``, ``("notnull", col)``.  Chunk level: each
+    predicate's keep set is a plain pushed-down metadata filter (plus the
+    executor-side Bloom UDF for eq) feeding a broadcast left-semi join —
+    chained joins intersect the sets without moving payloads.  Page
+    level: int/str equality rides the zone maps as the degenerate range
+    [v, v]; null predicates prune chunks only (no per-page null counts).
+    Output is a SUPERSET of matching rows — callers re-apply the exact
+    row predicate, same contract as every other pruned decode."""
+    if not preds:
+        raise ValueError("preds must be non-empty")
+    spark = blocks.sparkSession
+    pruned = blocks
+    page_prunes: list[tuple] = []
+    for pred in preds:
+        op, pred_col = pred[0], pred[1]
+        kind = col_kinds.get(pred_col)
+        keep_df = None
+        if op == "range":
+            keep_pred, page_prune = _range_keep(kind, pred_col, *pred[2:4])
+            if page_prune is not None:
+                page_prunes.append(page_prune)
+        elif op == "eq":
+            value = pred[2]
+            if kind == "str":
+                if not isinstance(value, str):
+                    raise ValueError("str pred_col needs a str value")
+                # hash the literal through the SAME JVM function used at
+                # encode (metadata-sized one-row job)
+                probe = int(
+                    spark.range(1)
+                    .select(F.xxhash64(F.lit(value)).alias("h"))
+                    .first()["h"]
+                )
+                stats_pred = (
+                    F.col("stat_min_str").isNotNull()
+                    & (F.col("stat_min_str") <= value)
+                    & (
+                        F.col("stat_max_str").isNull()
+                        | (F.col("stat_max_str") >= value)
+                    )
+                )
+            elif kind in ("int", "int96_ts"):
+                probe = value
+                # a NULL stat (all-null chunk) keeps the row
+                stats_pred = F.col("stat_min").isNull() | (
+                    (F.col("stat_min") <= value) & (F.col("stat_max") >= value)
+                )
+            else:
+                raise ValueError(
+                    f"pred_col {pred_col!r} has kind {kind!r}; "
+                    "bloom pruning needs an int, int96_ts or str column"
+                )
+            keep_df = (
+                blocks.filter(F.col("column") == pred_col)
+                # stats prune first (free, JVM, pushes to the blocks scan)
+                .filter(stats_pred)
+                .filter(_bloom_keep_udf(probe)(F.col("bloom")))
+                .select("part_id")
+                .distinct()
+            )
+            # equality rides the page zone maps as the range [v, v]
+            page_prunes.append((pred_col, value, value))
+        elif op in ("isnull", "notnull"):
+            if kind is None or kind in _LIST_KINDS:
+                # list columns reject nulls at encode, so a null predicate
+                # on one is a caller bug — fail loudly
+                raise ValueError(
+                    f"pred_col {pred_col!r} has kind {kind!r}; "
+                    "null-count pruning needs a scalar column"
+                )
+            keep_pred = (F.col("column") == pred_col) & (
+                F.col("n_nulls") > 0
+                if op == "isnull"
+                else F.col("n_nulls") < F.col("n_rows")
+            )
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+        if keep_df is None:
+            keep_df = blocks.filter(keep_pred).select("part_id").distinct()
+        pruned = pruned.join(F.broadcast(keep_df), "part_id", "left_semi")
+    return decode_df(
+        pruned, key_col, col_kinds, out_schema,
+        prune=page_prunes or None,
+    )
 
 
 def decode_df_pruned_eq(
@@ -1064,55 +1220,12 @@ def decode_df_pruned_eq(
     ``pred_col`` may be int/int96_ts (bloom over the values) or str
     (bloom over JVM-side xxhash64 of the values — the query literal is
     hashed through the same Spark function, so executor and probe agree
-    bit-for-bit; the truncated string zone maps additionally pre-filter)."""
-    kind = col_kinds.get(pred_col)
-    if kind == "str":
-        if not isinstance(value, str):
-            raise ValueError("str pred_col needs a str value")
-        # hash the literal through the SAME JVM function used at encode
-        # (metadata-sized one-row job; no Python reimplementation to drift)
-        spark = blocks.sparkSession
-        probe = int(
-            spark.range(1)
-            .select(F.xxhash64(F.lit(value)).alias("h"))
-            .first()["h"]
-        )
-        stats_pred = (
-            F.col("stat_min_str").isNotNull()
-            & (F.col("stat_min_str") <= value)
-            & (F.col("stat_max_str").isNull() | (F.col("stat_max_str") >= value))
-        )
-    elif kind in ("int", "int96_ts"):
-        probe = value
-        # a NULL stat (all-null chunk of a nullable column) keeps the row
-        stats_pred = F.col("stat_min").isNull() | (
-            (F.col("stat_min") <= value) & (F.col("stat_max") >= value)
-        )
-    else:
-        raise ValueError(
-            f"pred_col {pred_col!r} has kind {kind!r}; "
-            "bloom pruning needs an int, int96_ts or str column"
-        )
-
-    @F.pandas_udf("boolean")
-    def _might_contain(bloom: pd.Series) -> pd.Series:
-        # a missing filter (high-cardinality chunk) conservatively keeps
-        # the partition; bitsets are deserialized and tested where the
-        # metadata rows already live
-        return bloom.map(
-            lambda b: True if b is None else bloom_might_contain(bytes(b), probe)
-        )
-
-    keep = (
-        blocks.filter(F.col("column") == pred_col)
-        # stats prune first (free, JVM, pushes to the blocks scan)
-        .filter(stats_pred)
-        .filter(_might_contain(F.col("bloom")))
-        .select("part_id")
-        .distinct()
+    bit-for-bit; the truncated string zone maps additionally pre-filter).
+    Surviving chunks also page-skip via the zone maps (eq = the
+    degenerate range [v, v])."""
+    return decode_df_pruned_multi(
+        blocks, key_col, col_kinds, out_schema, [("eq", pred_col, value)]
     )
-    pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
-    return decode_df(pruned, key_col, col_kinds, out_schema)
 
 
 def decode_df_pruned_null(
@@ -1133,26 +1246,10 @@ def decode_df_pruned_null(
     Same scale shape as the stats prune: a plain pushed-down column
     predicate feeds a broadcast semi join; skipped payloads are never
     read, shuffled, or decoded."""
-    kind = col_kinds.get(pred_col)
-    if kind is None or kind in _LIST_KINDS:
-        # list columns reject nulls at encode (encode_df raises), so a
-        # null predicate on one is a caller bug — fail loudly
-        raise ValueError(
-            f"pred_col {pred_col!r} has kind {kind!r}; "
-            "null-count pruning needs a scalar column"
-        )
-    cond = (
-        F.col("n_nulls") > 0
-        if want_null
-        else F.col("n_nulls") < F.col("n_rows")
+    return decode_df_pruned_multi(
+        blocks, key_col, col_kinds, out_schema,
+        [("isnull" if want_null else "notnull", pred_col)],
     )
-    keep = (
-        blocks.filter((F.col("column") == pred_col) & cond)
-        .select("part_id")
-        .distinct()
-    )
-    pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
-    return decode_df(pruned, key_col, col_kinds, out_schema)
 
 
 def roundtrip_filtered_eq(
@@ -1223,6 +1320,57 @@ def roundtrip_filtered(
     out = decoded.filter(
         (F.col(pred_col) >= lo) & (F.col(pred_col) <= hi)
     )
+    return out.select(
+        *[
+            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
+            for f in in_schema.fields
+        ]
+    )
+
+
+def _pred_row_expr(preds: list[tuple]):
+    """Exact row-level Column expression for a predicate conjunction —
+    the re-apply step after the superset prune."""
+    e = None
+    for p in preds:
+        op, col = p[0], p[1]
+        if op == "range":
+            c = (F.col(col) >= p[2]) & (F.col(col) <= p[3])
+        elif op == "eq":
+            c = F.col(col) == p[2]
+        elif op == "isnull":
+            c = F.col(col).isNull()
+        elif op == "notnull":
+            c = F.col(col).isNotNull()
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+        e = c if e is None else e & c
+    return e
+
+
+def roundtrip_filtered_multi(
+    df: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    preds: list[tuple],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """encode -> blocks -> conjunction-pruned decode -> exact predicate
+    re-apply (the multi-predicate sibling of roundtrip_filtered; see
+    decode_df_pruned_multi for the pred grammar)."""
+    from pyspark import StorageLevel
+
+    cols = list(col_kinds)
+    in_schema = df.select(*cols).schema
+    blocks = encode_df(
+        df, key_col, col_kinds, n_parts, partitioning="range"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _retain_filtered_blocks(blocks)
+    decoded = decode_df_pruned_multi(
+        blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
+        preds,
+    )
+    out = decoded.filter(_pred_row_expr(preds))
     return out.select(
         *[
             F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)

@@ -191,11 +191,19 @@ def test_bloom_prune_is_executor_side():
     anywhere in decode_df_pruned_eq."""
     import inspect
 
-    from parquet_python_spark.operators.generic_codec import decode_df_pruned_eq
+    from parquet_python_spark.operators.generic_codec import (
+        _bloom_keep_udf,
+        decode_df_pruned_eq,
+        decode_df_pruned_multi,
+    )
 
-    src = inspect.getsource(decode_df_pruned_eq)
+    src = inspect.getsource(decode_df_pruned_eq) + inspect.getsource(
+        decode_df_pruned_multi
+    )
     assert ".collect(" not in src
-    assert "pandas_udf" in src  # membership evaluated executor-side
+    # membership evaluated executor-side via the factory-bound pandas UDF
+    assert "_bloom_keep_udf" in src
+    assert "pandas_udf" in inspect.getsource(_bloom_keep_udf)
 
 
 def test_bloom_build_flag_off_and_conservative_decode(spark):
@@ -938,4 +946,73 @@ def test_nullable_page_stats_prune_and_exact(spark):
     assert dec_s.filter((F.col("s") >= lo_s) & (F.col("s") <= hi_s)).count() == 0
     assert dec_s.count() < n // 2  # skipped at least the all-null page
     dec_s.unpersist()
+    blocks.unpersist()
+
+
+def test_multi_predicate_prune_conjunction(spark):
+    """Conjunctive pruning intersects keep sets and page ranges: a
+    (range AND eq AND notnull) conjunction decodes no more rows than the
+    tightest single predicate, and the exact filtered result matches."""
+    from parquet_python_spark.operators.generic_codec import (
+        PAGE_ROWS,
+        _arrow_safe_schema,
+        decode_df_pruned,
+        decode_df_pruned_multi,
+        encode_df,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.concat(F.lit("t"), F.lpad(F.col("id").cast("string"), 8, "0")))
+        .alias("t"),
+    )
+    kinds = {"k": "int", "v": "int", "t": "str"}
+    blocks = encode_df(df, "k", kinds, n_parts=4, partitioning="range").cache()
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+
+    preds = [
+        ("range", "k", 5_000, 6_000),
+        ("eq", "v", 11),
+        ("notnull", "t"),
+    ]
+    dec = decode_df_pruned_multi(blocks, "k", kinds, out_schema, preds).cache()
+    pre = dec.count()
+    single = decode_df_pruned(
+        blocks, "k", kinds, out_schema, "k", 5_000, 6_000
+    ).count()
+    assert pre <= single <= 2 * PAGE_ROWS
+    exact = (
+        (F.col("k") >= 5_000) & (F.col("k") <= 6_000)
+        & (F.col("v") == 11) & F.col("t").isNotNull()
+    )
+    got = sorted(tuple(r) for r in dec.filter(exact).collect())
+    exp = sorted(tuple(r) for r in df.filter(exact).collect())
+    assert got == exp and len(got) > 0
+    dec.unpersist()
+
+    # two DISJOINT range predicates on the same column: page-range
+    # intersection goes empty -> zero rows decoded, still no error
+    empty = decode_df_pruned_multi(
+        blocks, "k", kinds, out_schema,
+        [("range", "k", 100, 200), ("range", "k", 30_000, 30_100)],
+    )
+    assert empty.count() == 0
+
+    # eq predicates bind their own probes (no late-binding across the
+    # loop): two str eq preds, the second impossible -> empty
+    vals = decode_df_pruned_multi(
+        blocks, "k", kinds, out_schema,
+        [("eq", "t", "t00005005"), ("eq", "t", "zzz-not-there")],
+    )
+    assert vals.count() == 0
+
+    with pytest.raises(ValueError, match="non-empty"):
+        decode_df_pruned_multi(blocks, "k", kinds, out_schema, [])
+    with pytest.raises(ValueError, match="unknown predicate"):
+        decode_df_pruned_multi(
+            blocks, "k", kinds, out_schema, [("like", "t", "x%")]
+        )
     blocks.unpersist()
