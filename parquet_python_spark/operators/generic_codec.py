@@ -295,6 +295,21 @@ def _page_keep_ranges_str(
     return ranges
 
 
+def _union_ranges(
+    a: list[tuple[int, int]], b: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Union of two sorted disjoint row-range lists (sorted disjoint out).
+    Used for IN-list page pruning: a page survives if ANY probe value's
+    range admits it."""
+    out: list[tuple[int, int]] = []
+    for s, e in sorted(a + b):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
 def _intersect_ranges(
     a: list[tuple[int, int]] | None, b: list[tuple[int, int]] | None
 ) -> list[tuple[int, int]] | None:
@@ -927,20 +942,34 @@ def decode_df(
     def dec(tbl: pa.Table) -> pa.Table:
         by_col = {r["column"]: r for r in tbl.to_pylist()}
         n_rows = int(next(iter(by_col.values()))["n_rows"])
-        ranges: list[tuple[int, int]] | None = None
-        for pcol, lo, hi in prunes:
+
+        def one_range(pcol, lo, hi):
             prow = by_col.get(pcol)
             pstats = prow.get("page_stats") if prow else None
             if not pstats:
-                continue
+                return None  # no page info: keep everything
             keep_fn = (
                 _page_keep_ranges_str
                 if isinstance(lo, str)
                 else _page_keep_ranges
             )
-            ranges = _intersect_ranges(
-                ranges, keep_fn(bytes(pstats), n_rows, lo, hi)
-            )
+            return keep_fn(bytes(pstats), n_rows, lo, hi)
+
+        ranges: list[tuple[int, int]] | None = None
+        for entry in prunes:
+            if isinstance(entry, list):
+                # union group (IN-list): a page survives if ANY member
+                # range admits it; a member without page info keeps all
+                acc: list[tuple[int, int]] | None = []
+                for pcol, lo, hi in entry:
+                    r = one_range(pcol, lo, hi)
+                    if r is None:
+                        acc = None
+                        break
+                    acc = _union_ranges(acc, r)
+                ranges = _intersect_ranges(ranges, acc)
+            else:
+                ranges = _intersect_ranges(ranges, one_range(*entry))
             if ranges == []:
                 break
         if ranges == []:
@@ -1080,18 +1109,21 @@ def _range_keep(
     return keep_pred, page_prune
 
 
-def _bloom_keep_udf(probe: int):
+def _bloom_keep_udf(probes: tuple):
     """Executor-side Bloom membership test over the metadata rows — a
-    factory so each predicate binds its own probe (a loop-shared closure
-    would late-bind to the last probe at pickle time).  A missing filter
-    (high-cardinality chunk) conservatively keeps the partition; bitsets
-    are deserialized and tested where the metadata rows already live —
-    never on the driver."""
+    factory so each predicate binds its own probes (a loop-shared closure
+    would late-bind to the last probes at pickle time).  Admits the
+    partition when ANY probe may be present (IN-list semantics; a single
+    probe is the eq case).  A missing filter (high-cardinality chunk)
+    conservatively keeps the partition; bitsets are deserialized and
+    tested where the metadata rows already live — never on the driver."""
 
     @F.pandas_udf("boolean")
     def _might_contain(bloom: pd.Series) -> pd.Series:
         return bloom.map(
-            lambda b: True if b is None else bloom_might_contain(bytes(b), probe)
+            lambda b: True
+            if b is None
+            else any(bloom_might_contain(bytes(b), p) for p in probes)
         )
 
     return _might_contain
@@ -1110,12 +1142,13 @@ def decode_df_pruned_multi(
     multiply, which is exactly what makes pruning pay at 100x scale.
 
     ``preds`` entries: ``("range", col, lo, hi)``, ``("eq", col, value)``,
-    ``("isnull", col)``, ``("notnull", col)``.  Chunk level: each
-    predicate's keep set is a plain pushed-down metadata filter (plus the
-    executor-side Bloom UDF for eq) feeding a broadcast left-semi join —
-    chained joins intersect the sets without moving payloads.  Page
-    level: int/str equality rides the zone maps as the degenerate range
-    [v, v]; null predicates prune chunks only (no per-page null counts).
+    ``("in", col, [v1, ...])``, ``("isnull", col)``, ``("notnull", col)``.
+    Chunk level: each predicate's keep set is a plain pushed-down
+    metadata filter (plus the executor-side Bloom UDF for eq/in) feeding
+    a broadcast left-semi join — chained joins intersect the sets without
+    moving payloads.  Page level: int/str equality rides the zone maps as
+    the degenerate range [v, v], IN-lists as the UNION of their values'
+    ranges; null predicates prune chunks only (no per-page null counts).
     Output is a SUPERSET of matching rows — callers re-apply the exact
     row predicate, same contract as every other pruned decode."""
     if not preds:
@@ -1131,47 +1164,69 @@ def decode_df_pruned_multi(
             keep_pred, page_prune = _range_keep(kind, pred_col, *pred[2:4])
             if page_prune is not None:
                 page_prunes.append(page_prune)
-        elif op == "eq":
-            value = pred[2]
-            if kind == "str":
-                if not isinstance(value, str):
-                    raise ValueError("str pred_col needs a str value")
-                # hash the literal through the SAME JVM function used at
-                # encode (metadata-sized one-row job)
-                probe = int(
-                    spark.range(1)
-                    .select(F.xxhash64(F.lit(value)).alias("h"))
-                    .first()["h"]
+        elif op in ("eq", "in"):
+            # eq is the single-value IN: both prune a partition when ANY
+            # probe value may be present (stats OR'd per value, Bloom
+            # membership any-of), and page-skip via the UNION of each
+            # value's degenerate range [v, v]
+            values = [pred[2]] if op == "eq" else list(pred[2])
+            if op == "in" and not values:
+                # x IN () is vacuously false: decode nothing
+                keep_df = blocks.select("part_id").limit(0)
+                pruned = pruned.join(
+                    F.broadcast(keep_df), "part_id", "left_semi"
                 )
-                stats_pred = (
+                continue
+            if kind == "str":
+                if not all(isinstance(v, str) for v in values):
+                    raise ValueError("str pred_col needs a str value")
+                # hash the literals through the SAME JVM function used at
+                # encode (metadata-sized one-row job for the whole list)
+                hrow = (
+                    spark.range(1)
+                    .select(
+                        *[
+                            F.xxhash64(F.lit(v)).alias(f"h{i}")
+                            for i, v in enumerate(values)
+                        ]
+                    )
+                    .first()
+                )
+                probes = tuple(int(hrow[f"h{i}"]) for i in range(len(values)))
+                per_val = [
                     F.col("stat_min_str").isNotNull()
-                    & (F.col("stat_min_str") <= value)
+                    & (F.col("stat_min_str") <= v)
                     & (
                         F.col("stat_max_str").isNull()
-                        | (F.col("stat_max_str") >= value)
+                        | (F.col("stat_max_str") >= v)
                     )
-                )
+                    for v in values
+                ]
             elif kind in ("int", "int96_ts"):
-                probe = value
+                probes = tuple(values)
                 # a NULL stat (all-null chunk) keeps the row
-                stats_pred = F.col("stat_min").isNull() | (
-                    (F.col("stat_min") <= value) & (F.col("stat_max") >= value)
-                )
+                per_val = [
+                    F.col("stat_min").isNull()
+                    | ((F.col("stat_min") <= v) & (F.col("stat_max") >= v))
+                    for v in values
+                ]
             else:
                 raise ValueError(
                     f"pred_col {pred_col!r} has kind {kind!r}; "
                     "bloom pruning needs an int, int96_ts or str column"
                 )
+            stats_pred = per_val[0]
+            for c in per_val[1:]:
+                stats_pred = stats_pred | c
             keep_df = (
                 blocks.filter(F.col("column") == pred_col)
                 # stats prune first (free, JVM, pushes to the blocks scan)
                 .filter(stats_pred)
-                .filter(_bloom_keep_udf(probe)(F.col("bloom")))
+                .filter(_bloom_keep_udf(probes)(F.col("bloom")))
                 .select("part_id")
                 .distinct()
             )
-            # equality rides the page zone maps as the range [v, v]
-            page_prunes.append((pred_col, value, value))
+            page_prunes.append([(pred_col, v, v) for v in values])
         elif op in ("isnull", "notnull"):
             if kind is None or kind in _LIST_KINDS:
                 # list columns reject nulls at encode, so a null predicate
@@ -1338,6 +1393,8 @@ def _pred_row_expr(preds: list[tuple]):
             c = (F.col(col) >= p[2]) & (F.col(col) <= p[3])
         elif op == "eq":
             c = F.col(col) == p[2]
+        elif op == "in":
+            c = F.col(col).isin(list(p[2])) if p[2] else F.lit(False)
         elif op == "isnull":
             c = F.col(col).isNull()
         elif op == "notnull":

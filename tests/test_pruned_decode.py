@@ -1016,3 +1016,80 @@ def test_multi_predicate_prune_conjunction(spark):
             blocks, "k", kinds, out_schema, [("like", "t", "x%")]
         )
     blocks.unpersist()
+
+
+def test_in_list_prune_union_and_exact(spark):
+    """IN-list pruning: chunk keep is any-of (stats OR'd, Bloom any-probe),
+    page skip is the UNION of each value's [v, v] range — two values in
+    distant pages decode ~2 pages, not the chunk; empty IN decodes
+    nothing; the union group intersects with other predicates."""
+    from parquet_python_spark.operators.generic_codec import (
+        PAGE_ROWS,
+        _arrow_safe_schema,
+        decode_df_pruned_multi,
+        encode_df,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("t"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("t"),
+    )
+    kinds = {"k": "int", "t": "str"}
+    # 2 range parts -> ~20k-row chunks, 5 pages each
+    blocks = encode_df(df, "k", kinds, n_parts=2, partitioning="range").cache()
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+
+    # two int values in the SAME chunk but distant pages
+    vals = [100, 17_000]
+    dec = decode_df_pruned_multi(
+        blocks, "k", kinds, out_schema, [("in", "k", vals)]
+    ).cache()
+    assert dec.count() <= 2 * PAGE_ROWS  # union of two pages, not 20k rows
+    got = sorted(r["k"] for r in dec.filter(F.col("k").isin(vals)).collect())
+    assert got == vals
+    dec.unpersist()
+
+    # str IN-list: probes hashed JVM-side, same union semantics
+    svals = ["t00000100", "t00017000", "zzz-not-there"]
+    dec_s = decode_df_pruned_multi(
+        blocks, "k", kinds, out_schema, [("in", "t", svals)]
+    ).cache()
+    assert dec_s.count() <= 2 * PAGE_ROWS
+    got_s = sorted(r["t"] for r in dec_s.filter(F.col("t").isin(svals)).collect())
+    assert got_s == ["t00000100", "t00017000"]
+    dec_s.unpersist()
+
+    # empty IN-list: vacuously false, zero rows, no error
+    assert (
+        decode_df_pruned_multi(
+            blocks, "k", kinds, out_schema, [("in", "k", [])]
+        ).count()
+        == 0
+    )
+
+    # IN intersected with a range that excludes one value
+    dec_i = decode_df_pruned_multi(
+        blocks, "k", kinds, out_schema,
+        [("in", "k", vals), ("range", "k", 0, 1_000)],
+    ).cache()
+    assert dec_i.count() <= PAGE_ROWS
+    assert sorted(
+        r["k"] for r in dec_i.filter(F.col("k").isin(vals)).collect()
+    ) == [100]
+    dec_i.unpersist()
+    blocks.unpersist()
+
+
+def test_union_ranges_kernel():
+    from parquet_python_spark.operators.generic_codec import (
+        _intersect_ranges,
+        _union_ranges,
+    )
+
+    assert _union_ranges([(0, 5)], [(5, 10)]) == [(0, 10)]  # adjacent merge
+    assert _union_ranges([(0, 3), (8, 10)], [(2, 4)]) == [(0, 4), (8, 10)]
+    assert _union_ranges([], [(1, 2)]) == [(1, 2)]
+    assert _intersect_ranges([(0, 10)], [(5, 15)]) == [(5, 10)]
+    assert _intersect_ranges(None, [(1, 2)]) == [(1, 2)]
+    assert _intersect_ranges([(0, 2)], [(5, 6)]) == []
