@@ -267,7 +267,7 @@ def _rt_documents_nulls(spark, sf_dir):
     # predicates before any payload is read or decoded.
     from parquet_python_spark.operators.generic_codec import (
         roundtrip,
-        roundtrip_filtered_null,
+        roundtrip_filtered_null_modes,
     )
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -279,12 +279,11 @@ def _rt_documents_nulls(spark, sf_dir):
     full = roundtrip(docs, "doc_id", kinds, page="v2", outer="lz4_raw").select(
         F.lit("all").alias("mode"), "*"
     )
-    nn = roundtrip_filtered_null(
-        docs, "doc_id", kinds, "lang_n", want_null=False
-    ).select(F.lit("notnull").alias("mode"), "*")
-    nul = roundtrip_filtered_null(
-        docs, "doc_id", kinds, "lang_n", want_null=True
-    ).select(F.lit("null").alias("mode"), "*")
+    # both null modes share ONE encode (blocks persisted once, pruned
+    # twice with opposite null predicates)
+    nul, nn = roundtrip_filtered_null_modes(docs, "doc_id", kinds, "lang_n")
+    nn = nn.select(F.lit("notnull").alias("mode"), "*")
+    nul = nul.select(F.lit("null").alias("mode"), "*")
     return full.unionAll(nn).unionAll(nul)
 
 

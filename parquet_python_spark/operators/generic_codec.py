@@ -1151,8 +1151,7 @@ def decode_df_pruned_multi(
     ranges; null predicates prune chunks only (no per-page null counts).
     Output is a SUPERSET of matching rows — callers re-apply the exact
     row predicate, same contract as every other pruned decode."""
-    if not preds:
-        raise ValueError("preds must be non-empty")
+    preds = _normalize_preds(preds)
     spark = blocks.sparkSession
     pruned = blocks
     page_prunes: list[tuple] = []
@@ -1203,6 +1202,13 @@ def decode_df_pruned_multi(
                     for v in values
                 ]
             elif kind in ("int", "int96_ts"):
+                if not all(
+                    isinstance(v, int) and not isinstance(v, bool)
+                    for v in values
+                ):
+                    # fail at plan time, not inside the executor-side
+                    # Bloom UDF (SQL `IN (..., NULL)` is a common source)
+                    raise ValueError("int pred_col needs int values")
                 probes = tuple(values)
                 # a NULL stat (all-null chunk) keeps the row
                 per_val = [
@@ -1383,6 +1389,17 @@ def roundtrip_filtered(
     )
 
 
+def _normalize_preds(preds: list[tuple]) -> list[tuple]:
+    """Materialize IN-list values (a one-shot iterable read twice — once
+    for the prune, once for the exact row filter — would silently yield
+    an empty second read) and reject an empty conjunction."""
+    if not preds:
+        raise ValueError("preds must be non-empty")
+    return [
+        (p[0], p[1], list(p[2])) if p[0] == "in" else p for p in preds
+    ]
+
+
 def _pred_row_expr(preds: list[tuple]):
     """Exact row-level Column expression for a predicate conjunction —
     the re-apply step after the superset prune."""
@@ -1446,6 +1463,24 @@ def roundtrip_filtered_null(
 ) -> DataFrame:
     """encode -> blocks -> null-count-pruned decode -> exact IS [NOT] NULL
     filter (the null-predicate twin of roundtrip_filtered)."""
+    return roundtrip_filtered_multi(
+        df, key_col, col_kinds,
+        [("isnull" if want_null else "notnull", pred_col)], n_parts,
+    )
+
+
+def roundtrip_filtered_null_modes(
+    df: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    pred_col: str,
+    n_parts: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(IS NULL round-trip, IS NOT NULL round-trip) over ONE shared
+    encode — the blocks are built and persisted once, then pruned twice
+    with opposite null predicates (the pair a query like
+    rt_documents_nulls consumes; two separate roundtrip_filtered_null
+    calls would encode the input twice)."""
     from pyspark import StorageLevel
 
     cols = list(col_kinds)
@@ -1454,19 +1489,23 @@ def roundtrip_filtered_null(
         df, key_col, col_kinds, n_parts, partitioning="range"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _retain_filtered_blocks(blocks)
-    decoded = decode_df_pruned_null(
-        blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
-        pred_col, want_null,
-    )
-    out = decoded.filter(
-        F.col(pred_col).isNull() if want_null else F.col(pred_col).isNotNull()
-    )
-    return out.select(
-        *[
-            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
-            for f in in_schema.fields
-        ]
-    )
+    out_schema = _arrow_safe_schema(in_schema, col_kinds)
+
+    def one(want_null: bool) -> DataFrame:
+        decoded = decode_df_pruned_null(
+            blocks, key_col, col_kinds, out_schema, pred_col, want_null
+        )
+        out = decoded.filter(
+            _pred_row_expr([("isnull" if want_null else "notnull", pred_col)])
+        )
+        return out.select(
+            *[
+                F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
+                for f in in_schema.fields
+            ]
+        )
+
+    return one(True), one(False)
 
 
 def roundtrip(
