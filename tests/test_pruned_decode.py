@@ -1093,3 +1093,65 @@ def test_union_ranges_kernel():
     assert _intersect_ranges([(0, 10)], [(5, 15)]) == [(5, 10)]
     assert _intersect_ranges(None, [(1, 2)]) == [(1, 2)]
     assert _intersect_ranges([(0, 2)], [(5, 6)]) == []
+
+
+def test_persisted_blocks_prune_pushes_to_scan(spark, tmp_path):
+    """The deployment shape: blocks persisted as a parquet table, pruned
+    decodes reading it back.  The chunk-level keep predicates must reach
+    the blocks scan as PushedFilters (stats prune at STORAGE — payloads
+    of skipped chunks are never read), and results stay exact through the
+    parquet round-trip (n_nulls/page_stats/str bounds survive)."""
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned,
+        decode_df_pruned_multi,
+        decode_df_pruned_null,
+        encode_df,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 4_000, None).otherwise(F.col("id")).alias("w"),
+    )
+    kinds = {"k": "int", "w": "int"}
+    path = str(tmp_path / "blocks_table")
+    encode_df(df, "k", kinds, n_parts=4, partitioning="range").write.parquet(path)
+    blocks = spark.read.parquet(path)
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+
+    def plan(d):
+        return d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "formatted"
+        )
+
+    # range prune: stat bounds and the column selector push to the scan
+    dec = decode_df_pruned(blocks, "k", kinds, out_schema, "k", 5_000, 6_000)
+    p = plan(dec)
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(stat_max,5000)" in p
+    assert "LessThanOrEqual(stat_min,6000)" in p
+    assert "EqualTo(column,k)" in p
+    got = sorted(
+        r["k"] for r in dec.filter((F.col("k") >= 5_000) & (F.col("k") <= 6_000)).collect()
+    )
+    assert got == list(range(5_000, 6_001))
+
+    # null prune: the n_nulls predicate pushes too
+    dec_n = decode_df_pruned_null(blocks, "k", kinds, out_schema, "w", True)
+    p_n = plan(dec_n)
+    assert "GreaterThan(n_nulls,0)" in p_n
+    got_n = sorted(r["k"] for r in dec_n.filter(F.col("w").isNull()).collect())
+    assert got_n == list(range(4_000))
+
+    # conjunction over the persisted table stays exact
+    dec_m = decode_df_pruned_multi(
+        blocks, "k", kinds, out_schema,
+        [("range", "k", 5_000, 6_000), ("notnull", "w")],
+    )
+    got_m = sorted(
+        tuple(r)
+        for r in dec_m.filter(
+            (F.col("k") >= 5_000) & (F.col("k") <= 6_000) & F.col("w").isNotNull()
+        ).collect()
+    )
+    assert got_m == [(i, i) for i in range(5_000, 6_001)]
