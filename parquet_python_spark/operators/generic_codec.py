@@ -1152,109 +1152,153 @@ def decode_df_pruned_multi(
     Output is a SUPERSET of matching rows — callers re-apply the exact
     row predicate, same contract as every other pruned decode."""
     preds = _normalize_preds(preds)
-    spark = blocks.sparkSession
     pruned = blocks
-    page_prunes: list[tuple] = []
+    page_prunes: list = []
     for pred in preds:
-        op, pred_col = pred[0], pred[1]
-        kind = col_kinds.get(pred_col)
-        keep_df = None
-        if op == "range":
-            keep_pred, page_prune = _range_keep(kind, pred_col, *pred[2:4])
-            if page_prune is not None:
-                page_prunes.append(page_prune)
-        elif op in ("eq", "in"):
-            # eq is the single-value IN: both prune a partition when ANY
-            # probe value may be present (stats OR'd per value, Bloom
-            # membership any-of), and page-skip via the UNION of each
-            # value's degenerate range [v, v]
-            values = [pred[2]] if op == "eq" else list(pred[2])
-            if op == "in" and not values:
-                # x IN () is vacuously false: decode nothing
-                keep_df = blocks.select("part_id").limit(0)
-                pruned = pruned.join(
-                    F.broadcast(keep_df), "part_id", "left_semi"
-                )
-                continue
-            if kind == "str":
-                if not all(isinstance(v, str) for v in values):
-                    raise ValueError("str pred_col needs a str value")
-                # hash the literals through the SAME JVM function used at
-                # encode (metadata-sized one-row job for the whole list)
-                hrow = (
-                    spark.range(1)
-                    .select(
-                        *[
-                            F.xxhash64(F.lit(v)).alias(f"h{i}")
-                            for i, v in enumerate(values)
-                        ]
-                    )
-                    .first()
-                )
-                probes = tuple(int(hrow[f"h{i}"]) for i in range(len(values)))
-                per_val = [
-                    F.col("stat_min_str").isNotNull()
-                    & (F.col("stat_min_str") <= v)
-                    & (
-                        F.col("stat_max_str").isNull()
-                        | (F.col("stat_max_str") >= v)
-                    )
-                    for v in values
-                ]
-            elif kind in ("int", "int96_ts"):
-                if not all(
-                    isinstance(v, int) and not isinstance(v, bool)
-                    for v in values
-                ):
-                    # fail at plan time, not inside the executor-side
-                    # Bloom UDF (SQL `IN (..., NULL)` is a common source)
-                    raise ValueError("int pred_col needs int values")
-                probes = tuple(values)
-                # a NULL stat (all-null chunk) keeps the row
-                per_val = [
-                    F.col("stat_min").isNull()
-                    | ((F.col("stat_min") <= v) & (F.col("stat_max") >= v))
-                    for v in values
-                ]
-            else:
-                raise ValueError(
-                    f"pred_col {pred_col!r} has kind {kind!r}; "
-                    "bloom pruning needs an int, int96_ts or str column"
-                )
-            stats_pred = per_val[0]
-            for c in per_val[1:]:
-                stats_pred = stats_pred | c
-            keep_df = (
-                blocks.filter(F.col("column") == pred_col)
-                # stats prune first (free, JVM, pushes to the blocks scan)
-                .filter(stats_pred)
-                .filter(_bloom_keep_udf(probes)(F.col("bloom")))
-                .select("part_id")
-                .distinct()
+        keep_df, page_tuples = _pred_keep(blocks, col_kinds, pred)
+        if page_tuples:
+            page_prunes.append(
+                page_tuples[0] if len(page_tuples) == 1 else page_tuples
             )
-            page_prunes.append([(pred_col, v, v) for v in values])
-        elif op in ("isnull", "notnull"):
-            if kind is None or kind in _LIST_KINDS:
-                # list columns reject nulls at encode, so a null predicate
-                # on one is a caller bug — fail loudly
-                raise ValueError(
-                    f"pred_col {pred_col!r} has kind {kind!r}; "
-                    "null-count pruning needs a scalar column"
-                )
-            keep_pred = (F.col("column") == pred_col) & (
-                F.col("n_nulls") > 0
-                if op == "isnull"
-                else F.col("n_nulls") < F.col("n_rows")
-            )
-        else:
-            raise ValueError(f"unknown predicate op {op!r}")
-        if keep_df is None:
-            keep_df = blocks.filter(keep_pred).select("part_id").distinct()
         pruned = pruned.join(F.broadcast(keep_df), "part_id", "left_semi")
     return decode_df(
         pruned, key_col, col_kinds, out_schema,
         prune=page_prunes or None,
     )
+
+
+def _pred_keep(blocks: DataFrame, col_kinds: dict[str, str], pred: tuple):
+    """(keep part_id DataFrame, page bound tuples) for one predicate.
+
+    The page bounds are a list of (col, lo, hi) whose UNION covers every
+    row the predicate can match (range -> one tuple, eq/in -> one [v, v]
+    per value, [] for the vacuous empty IN); None means the predicate has
+    no page-level bound (null predicates — chunks only)."""
+    op, pred_col = pred[0], pred[1]
+    kind = col_kinds.get(pred_col)
+    if op == "range":
+        keep_pred, page_prune = _range_keep(kind, pred_col, *pred[2:4])
+        return (
+            blocks.filter(keep_pred).select("part_id").distinct(),
+            [page_prune],
+        )
+    if op in ("eq", "in"):
+        # eq is the single-value IN: both prune a partition when ANY
+        # probe value may be present (stats OR'd per value, Bloom
+        # membership any-of), and page-skip via the UNION of each
+        # value's degenerate range [v, v]
+        values = [pred[2]] if op == "eq" else list(pred[2])
+        if op == "in" and not values:
+            # x IN () is vacuously false: decode nothing
+            return blocks.select("part_id").limit(0), []
+        if kind == "str":
+            if not all(isinstance(v, str) for v in values):
+                raise ValueError("str pred_col needs a str value")
+            # hash the literals through the SAME JVM function used at
+            # encode (metadata-sized one-row job for the whole list)
+            hrow = (
+                blocks.sparkSession.range(1)
+                .select(
+                    *[
+                        F.xxhash64(F.lit(v)).alias(f"h{i}")
+                        for i, v in enumerate(values)
+                    ]
+                )
+                .first()
+            )
+            probes = tuple(int(hrow[f"h{i}"]) for i in range(len(values)))
+            per_val = [
+                F.col("stat_min_str").isNotNull()
+                & (F.col("stat_min_str") <= v)
+                & (
+                    F.col("stat_max_str").isNull()
+                    | (F.col("stat_max_str") >= v)
+                )
+                for v in values
+            ]
+        elif kind in ("int", "int96_ts"):
+            if not all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in values
+            ):
+                # fail at plan time, not inside the executor-side
+                # Bloom UDF (SQL `IN (..., NULL)` is a common source)
+                raise ValueError("int pred_col needs int values")
+            probes = tuple(values)
+            # a NULL stat (all-null chunk) keeps the row
+            per_val = [
+                F.col("stat_min").isNull()
+                | ((F.col("stat_min") <= v) & (F.col("stat_max") >= v))
+                for v in values
+            ]
+        else:
+            raise ValueError(
+                f"pred_col {pred_col!r} has kind {kind!r}; "
+                "bloom pruning needs an int, int96_ts or str column"
+            )
+        stats_pred = per_val[0]
+        for c in per_val[1:]:
+            stats_pred = stats_pred | c
+        keep_df = (
+            blocks.filter(F.col("column") == pred_col)
+            # stats prune first (free, JVM, pushes to the blocks scan)
+            .filter(stats_pred)
+            .filter(_bloom_keep_udf(probes)(F.col("bloom")))
+            .select("part_id")
+            .distinct()
+        )
+        return keep_df, [(pred_col, v, v) for v in values]
+    if op in ("isnull", "notnull"):
+        if kind is None or kind in _LIST_KINDS:
+            # list columns reject nulls at encode, so a null predicate
+            # on one is a caller bug — fail loudly
+            raise ValueError(
+                f"pred_col {pred_col!r} has kind {kind!r}; "
+                "null-count pruning needs a scalar column"
+            )
+        keep_pred = (F.col("column") == pred_col) & (
+            F.col("n_nulls") > 0
+            if op == "isnull"
+            else F.col("n_nulls") < F.col("n_rows")
+        )
+        return blocks.filter(keep_pred).select("part_id").distinct(), None
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+def decode_df_pruned_any(
+    blocks: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    out_schema: T.StructType,
+    preds: list[tuple],
+) -> DataFrame:
+    """Disjunctive (OR) predicate pruning: a partition decodes when ANY
+    predicate admits it (union of the per-predicate keep sets — one
+    unionAll + distinct, still metadata-only, one broadcast semi join),
+    and surviving chunks decode the UNION of every predicate's page row
+    ranges (one union group).  If any member predicate has no page-level
+    bound (isnull/notnull), page pruning is skipped entirely — a chunk
+    admitted only by that member must surface all its rows.  Same pred
+    grammar as decode_df_pruned_multi; same superset-then-re-filter
+    contract.  With decode_df_pruned_multi this completes the predicate
+    algebra: arbitrary AND-of-atoms and OR-of-atoms prunes (compose
+    row-side for deeper nesting)."""
+    preds = _normalize_preds(preds)
+    keep = None
+    union_tuples: list = []
+    page_ok = True
+    for pred in preds:
+        keep_df, page_tuples = _pred_keep(blocks, col_kinds, pred)
+        keep = keep_df if keep is None else keep.unionAll(keep_df)
+        if page_tuples is None:
+            page_ok = False
+        else:
+            union_tuples.extend(page_tuples)
+    pruned = blocks.join(
+        F.broadcast(keep.distinct()), "part_id", "left_semi"
+    )
+    prune = [union_tuples] if (page_ok and union_tuples) else None
+    return decode_df(pruned, key_col, col_kinds, out_schema, prune=prune)
 
 
 def decode_df_pruned_eq(
@@ -1400,9 +1444,10 @@ def _normalize_preds(preds: list[tuple]) -> list[tuple]:
     ]
 
 
-def _pred_row_expr(preds: list[tuple]):
-    """Exact row-level Column expression for a predicate conjunction —
-    the re-apply step after the superset prune."""
+def _pred_row_expr(preds: list[tuple], combine: str = "and"):
+    """Exact row-level Column expression for a predicate conjunction
+    (or disjunction with ``combine="or"``) — the re-apply step after the
+    superset prune."""
     e = None
     for p in preds:
         op, col = p[0], p[1]
@@ -1418,7 +1463,10 @@ def _pred_row_expr(preds: list[tuple]):
             c = F.col(col).isNotNull()
         else:
             raise ValueError(f"unknown predicate op {op!r}")
-        e = c if e is None else e & c
+        if e is None:
+            e = c
+        else:
+            e = (e & c) if combine == "and" else (e | c)
     return e
 
 
@@ -1434,6 +1482,9 @@ def roundtrip_filtered_multi(
     decode_df_pruned_multi for the pred grammar)."""
     from pyspark import StorageLevel
 
+    # normalize BEFORE the double read (prune + row filter): a one-shot
+    # IN iterable consumed by the prune would leave the row filter empty
+    preds = _normalize_preds(preds)
     cols = list(col_kinds)
     in_schema = df.select(*cols).schema
     blocks = encode_df(
@@ -1445,6 +1496,37 @@ def roundtrip_filtered_multi(
         preds,
     )
     out = decoded.filter(_pred_row_expr(preds))
+    return out.select(
+        *[
+            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
+            for f in in_schema.fields
+        ]
+    )
+
+
+def roundtrip_filtered_any(
+    df: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    preds: list[tuple],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """encode -> blocks -> disjunction-pruned decode -> exact OR-of-preds
+    re-apply (the OR sibling of roundtrip_filtered_multi)."""
+    from pyspark import StorageLevel
+
+    preds = _normalize_preds(preds)
+    cols = list(col_kinds)
+    in_schema = df.select(*cols).schema
+    blocks = encode_df(
+        df, key_col, col_kinds, n_parts, partitioning="range"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _retain_filtered_blocks(blocks)
+    decoded = decode_df_pruned_any(
+        blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
+        preds,
+    )
+    out = decoded.filter(_pred_row_expr(preds, combine="or"))
     return out.select(
         *[
             F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)

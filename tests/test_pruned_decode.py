@@ -193,12 +193,15 @@ def test_bloom_prune_is_executor_side():
 
     from parquet_python_spark.operators.generic_codec import (
         _bloom_keep_udf,
+        _pred_keep,
         decode_df_pruned_eq,
         decode_df_pruned_multi,
     )
 
-    src = inspect.getsource(decode_df_pruned_eq) + inspect.getsource(
-        decode_df_pruned_multi
+    src = (
+        inspect.getsource(decode_df_pruned_eq)
+        + inspect.getsource(decode_df_pruned_multi)
+        + inspect.getsource(_pred_keep)
     )
     assert ".collect(" not in src
     # membership evaluated executor-side via the factory-bound pandas UDF
@@ -1155,3 +1158,66 @@ def test_persisted_blocks_prune_pushes_to_scan(spark, tmp_path):
         ).collect()
     )
     assert got_m == [(i, i) for i in range(5_000, 6_001)]
+
+
+def test_or_predicate_prune_union_and_exact(spark):
+    """Disjunctive pruning: OR of two distant ranges decodes ~2 pages via
+    the union group; an OR containing a null predicate disables page
+    pruning but keeps chunk pruning; results are exact; generator IN
+    values survive the prune + row-filter double read."""
+    from parquet_python_spark.operators.generic_codec import (
+        PAGE_ROWS,
+        _arrow_safe_schema,
+        decode_df_pruned_any,
+        encode_df,
+        roundtrip_filtered_any,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 2_000, None).otherwise(F.col("id")).alias("w"),
+    )
+    kinds = {"k": "int", "w": "int"}
+    blocks = encode_df(df, "k", kinds, n_parts=4, partitioning="range").cache()
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+
+    # OR of two distant narrow ranges on k: union of ~2 pages
+    preds = [("range", "k", 100, 200), ("range", "k", 30_000, 30_100)]
+    dec = decode_df_pruned_any(blocks, "k", kinds, out_schema, preds).cache()
+    assert dec.count() <= 2 * PAGE_ROWS
+    got = sorted(
+        r["k"]
+        for r in dec.filter(
+            ((F.col("k") >= 100) & (F.col("k") <= 200))
+            | ((F.col("k") >= 30_000) & (F.col("k") <= 30_100))
+        ).collect()
+    )
+    assert got == list(range(100, 201)) + list(range(30_000, 30_101))
+    dec.unpersist()
+
+    # OR with isnull: page pruning off (the null member has no page
+    # bound), chunk union still prunes — nulls live in the first part only
+    preds2 = [("isnull", "w"), ("range", "k", 30_000, 30_100)]
+    dec2 = decode_df_pruned_any(blocks, "k", kinds, out_schema, preds2).cache()
+    pre2 = dec2.count()
+    assert pre2 < n  # chunk-level union still skipped non-matching parts
+    got2 = sorted(
+        r["k"]
+        for r in dec2.filter(
+            F.col("w").isNull()
+            | ((F.col("k") >= 30_000) & (F.col("k") <= 30_100))
+        ).collect()
+    )
+    assert got2 == list(range(2_000)) + list(range(30_000, 30_101))
+    dec2.unpersist()
+    blocks.unpersist()
+
+    # end-to-end wrapper with a GENERATOR In member: normalize-first means
+    # the prune and the exact row filter see the same values
+    out = roundtrip_filtered_any(
+        df, "k", kinds,
+        [("in", "k", (v for v in [5, 30_050])), ("eq", "k", 7)],
+        n_parts=4,
+    )
+    assert sorted(r["k"] for r in out.collect()) == [5, 7, 30_050]
