@@ -296,6 +296,7 @@ def _rt_lineitem_pruned(spark, sf_dir):
     # (parquet BloomFilter.md) prune a point lookup where min/max cannot.
     from parquet_python_spark.operators.generic_codec import (
         roundtrip_filtered,
+        roundtrip_filtered_any,
         roundtrip_filtered_eq,
         roundtrip_filtered_multi,
     )
@@ -319,7 +320,16 @@ def _rt_lineitem_pruned(spark, sf_dir):
             ("notnull", "l_partkey"),
         ],
     ).select(F.lit("multi").alias("mode"), "*")
-    return rng.unionAll(eq).unionAll(multi)
+    # mode='any' (round 5): disjunctive pruning — keep sets UNION (one
+    # semi join), page ranges union; IN-list rides as per-value [v, v]
+    any_ = roundtrip_filtered_any(
+        li, "l_orderkey", kinds,
+        [
+            ("range", "l_orderkey", 100, 200),
+            ("in", "l_orderkey", [1234, 4321]),
+        ],
+    ).select(F.lit("any").alias("mode"), "*")
+    return rng.unionAll(eq).unionAll(multi).unionAll(any_)
 
 
 def _rt_fixture_nation(spark, sf_dir):
@@ -1299,7 +1309,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'multi' AS mode, l_orderkey, l_partkey, l_quantity "
             "FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000 "
             "AND l_quantity BETWEEN 10.0 AND 20.0 "
-            "AND l_partkey IS NOT NULL"
+            "AND l_partkey IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'any' AS mode, l_orderkey, l_partkey, l_quantity "
+            "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200 "
+            "OR l_orderkey IN (1234, 4321)"
         ),
         "rt_fixture_nation": _nation_fixture_oracle(),
         "sink_roundtrips": (

@@ -431,7 +431,7 @@ def bloom_might_contain(blob: bytes, value: int) -> bool:
 # consumption callback for DataFrames, so eviction-by-recency is the
 # available policy; a persistent deployment stores blocks in a table and
 # has no cache to manage.
-_FILTERED_BLOCKS_KEEP = 4
+_FILTERED_BLOCKS_KEEP = 6  # rt_lineitem_pruned alone unions 4 round-trips
 _filtered_blocks_cache: list = []
 
 
