@@ -29,6 +29,10 @@ def main(argv=None) -> None:
                         help="max records to output")
     parser.add_argument("--col", action="append", type=str,
                         help="only include this column (repeatable)")
+    parser.add_argument("--where", default=None,
+                        help="SQL predicate applied before --limit "
+                             "(Catalyst pushes it to the parquet scan; "
+                             "the reference has no row filtering at all)")
     parser.add_argument("--no-headers", action="store_true",
                         help="skip CSV header row")
     parser.add_argument("--format", default="csv", choices=["csv", "json"],
@@ -57,6 +61,10 @@ def main(argv=None) -> None:
                 )
         if args.no_data:
             return
+        if args.where:
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.expr(args.where))
         if args.limit >= 0:
             df = df.limit(args.limit)
         if args.out:
