@@ -64,7 +64,14 @@ def main(argv=None) -> None:
         if args.where:
             from pyspark.sql import functions as F
 
-            df = df.filter(F.expr(args.where))
+            # SQL semantics: WHERE sees the FULL schema, projection comes
+            # after (a predicate on a non --col column must filter, not
+            # crash); Catalyst still prunes the scan to the union of
+            # projected + predicate columns
+            base = scan(spark, args.file, None)
+            df = base.filter(F.expr(args.where)).select(
+                *(args.col or base.columns)
+            )
         if args.limit >= 0:
             df = df.limit(args.limit)
         if args.out:

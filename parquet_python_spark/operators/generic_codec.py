@@ -1180,7 +1180,10 @@ def _pred_keep(blocks: DataFrame, col_kinds: dict[str, str], pred: tuple):
         keep_pred, page_prune = _range_keep(kind, pred_col, *pred[2:4])
         return (
             blocks.filter(keep_pred).select("part_id").distinct(),
-            [page_prune],
+            # a kind with no page bound (None per _range_keep's contract)
+            # means chunks-only, same as the null predicates — never wrap
+            # None in a list (it would unpack inside the Arrow decode)
+            [page_prune] if page_prune is not None else None,
         )
     if op in ("eq", "in"):
         # eq is the single-value IN: both prune a partition when ANY
@@ -1480,27 +1483,9 @@ def roundtrip_filtered_multi(
     """encode -> blocks -> conjunction-pruned decode -> exact predicate
     re-apply (the multi-predicate sibling of roundtrip_filtered; see
     decode_df_pruned_multi for the pred grammar)."""
-    from pyspark import StorageLevel
-
-    # normalize BEFORE the double read (prune + row filter): a one-shot
-    # IN iterable consumed by the prune would leave the row filter empty
-    preds = _normalize_preds(preds)
-    cols = list(col_kinds)
-    in_schema = df.select(*cols).schema
-    blocks = encode_df(
-        df, key_col, col_kinds, n_parts, partitioning="range"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _retain_filtered_blocks(blocks)
-    decoded = decode_df_pruned_multi(
-        blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
-        preds,
-    )
-    out = decoded.filter(_pred_row_expr(preds))
-    return out.select(
-        *[
-            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
-            for f in in_schema.fields
-        ]
+    return _roundtrip_preds(
+        df, key_col, col_kinds, preds, n_parts,
+        decode_df_pruned_multi, "and",
     )
 
 
@@ -1513,8 +1498,28 @@ def roundtrip_filtered_any(
 ) -> DataFrame:
     """encode -> blocks -> disjunction-pruned decode -> exact OR-of-preds
     re-apply (the OR sibling of roundtrip_filtered_multi)."""
+    return _roundtrip_preds(
+        df, key_col, col_kinds, preds, n_parts,
+        decode_df_pruned_any, "or",
+    )
+
+
+def _roundtrip_preds(
+    df: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    preds: list[tuple],
+    n_parts: int | None,
+    decode_fn,
+    combine: str,
+) -> DataFrame:
+    """Shared encode -> persist -> pruned decode -> exact re-apply body
+    for the AND/OR wrappers (one place for the persist policy, the blocks
+    cache registration and the output cast)."""
     from pyspark import StorageLevel
 
+    # normalize BEFORE the double read (prune + row filter): a one-shot
+    # IN iterable consumed by the prune would leave the row filter empty
     preds = _normalize_preds(preds)
     cols = list(col_kinds)
     in_schema = df.select(*cols).schema
@@ -1522,11 +1527,11 @@ def roundtrip_filtered_any(
         df, key_col, col_kinds, n_parts, partitioning="range"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _retain_filtered_blocks(blocks)
-    decoded = decode_df_pruned_any(
+    decoded = decode_fn(
         blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
         preds,
     )
-    out = decoded.filter(_pred_row_expr(preds, combine="or"))
+    out = decoded.filter(_pred_row_expr(preds, combine=combine))
     return out.select(
         *[
             F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)

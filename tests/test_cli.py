@@ -46,3 +46,21 @@ def test_cli_where_filter():
     rows = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
     assert rows  # nation has region-2 members below key 10
     assert all(r["n_regionkey"] == 2 and r["n_nationkey"] < 10 for r in rows)
+
+
+def test_cli_where_on_unprojected_column():
+    # WHERE sees the full schema even when --col drops the predicate column
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "parquet_python_spark",
+            "--where", "n_regionkey = 2",
+            "--col", "n_name",
+            "--format", "json",
+            "/root/testdata/sf0.001/nation.parquet",
+        ],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert rows and all(set(r) == {"n_name"} for r in rows)
