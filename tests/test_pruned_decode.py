@@ -1221,3 +1221,122 @@ def test_or_predicate_prune_union_and_exact(spark):
         n_parts=4,
     )
     assert sorted(r["k"] for r in out.collect()) == [5, 7, 30_050]
+
+
+# ------------------------------------------- prune-algebra property tests
+
+
+def test_prune_algebra_properties():
+    """Hypothesis: the page-range algebra and the zone-map classifiers
+    never produce a false negative (every matching row is inside the kept
+    ranges) under random values, nulls, bounds and range lists."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_python_spark.operators.generic_codec import (
+        PAGE_ROWS,
+        _intersect_ranges,
+        _page_keep_ranges,
+        _page_stats_blob,
+        _str_page_stats_blob,
+        _page_keep_ranges_str,
+        _str_stats,
+        _union_ranges,
+    )
+
+    SET = settings(max_examples=60, deadline=None)
+
+    # --- sorted-disjoint range lists vs a set oracle
+    def ranges_strategy():
+        return st.lists(
+            st.tuples(
+                st.integers(0, 500), st.integers(1, 40)
+            ),
+            max_size=8,
+        ).map(
+            lambda raw: _canon([(s, s + ln) for s, ln in raw])
+        )
+
+    def _canon(rs):
+        out = []
+        for s, e in sorted(rs):
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        return out
+
+    def to_set(rs):
+        return set().union(*[set(range(s, e)) for s, e in rs]) if rs else set()
+
+    @SET
+    @given(ranges_strategy(), ranges_strategy())
+    def check_algebra(a, b):
+        assert to_set(_union_ranges(a, b)) == to_set(a) | to_set(b)
+        assert to_set(_intersect_ranges(a, b)) == to_set(a) & to_set(b)
+
+    check_algebra()
+
+    # --- int page stats with nulls: kept ranges cover every matching row
+    @SET
+    @given(
+        st.lists(
+            st.tuples(st.integers(-1000, 1000), st.booleans()),
+            min_size=1,
+            max_size=3 * PAGE_ROWS,
+        ),
+        st.integers(-1000, 1000),
+        st.integers(0, 400),
+    )
+    def check_int_pages(rows, lo, width):
+        hi = lo + width
+        vals = np.array([v for v, _ in rows], dtype=np.int64)
+        valid = np.array([ok for _, ok in rows], dtype=bool)
+        blob = _page_stats_blob(vals, valid if not valid.all() else None)
+        if blob is None:
+            return  # single page: chunk stats cover it
+        kept = _page_keep_ranges(blob, len(vals), lo, hi)
+        if kept is None:
+            return  # everything kept
+        kept_rows = to_set(kept)
+        matches = np.flatnonzero(valid & (vals >= lo) & (vals <= hi))
+        assert set(matches.tolist()) <= kept_rows
+
+    check_int_pages()
+
+    # --- str page stats: truncated bounds stay conservative
+    text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=24,
+    )
+
+    @SET
+    @given(
+        st.lists(st.one_of(st.none(), text), min_size=1, max_size=2 * PAGE_ROWS),
+        text,
+        text,
+    )
+    def check_str_pages(vals, b1, b2):
+        lo, hi = min(b1, b2), max(b1, b2)
+        arr = pa.array(vals, type=pa.string())
+        blob = _str_page_stats_blob(arr)
+        if blob is None:
+            return
+        kept = _page_keep_ranges_str(blob, len(vals), lo, hi)
+        if kept is None:
+            return
+        kept_rows = to_set(kept)
+        matches = {
+            i for i, v in enumerate(vals) if v is not None and lo <= v <= hi
+        }
+        assert matches <= kept_rows
+        # chunk-level bounds conservative too
+        clo, chi = _str_stats(arr)
+        if clo is not None and matches:
+            assert clo <= max(v for v in vals if v is not None)
+            if chi is not None:
+                assert all(v <= chi for v in vals if v is not None)
+
+    check_str_pages()
