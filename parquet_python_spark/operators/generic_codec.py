@@ -1504,6 +1504,110 @@ def roundtrip_filtered_any(
     )
 
 
+def count_filtered_meta(
+    blocks: DataFrame,
+    col_kinds: dict[str, str],
+    pred_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """COUNT(*) WHERE pred_col BETWEEN lo AND hi, evaluated METADATA-FIRST
+    (the statistics-only query evaluation Parquet/Iceberg readers do; the
+    reference parses Statistics and never consults them).  Chunks whose
+    [stat_min, stat_max] lie fully inside [lo, hi] — and hold no nulls —
+    contribute n_rows straight from the metadata: their payloads are
+    never read.  Only BOUNDARY chunks (overlapping but not contained)
+    decode, page-pruned, and count the exact predicate.  At scale the
+    contained set dominates for range predicates on clustered columns, so
+    the count degenerates to a metadata aggregation.
+
+    Soundness of containment per kind: int — exact bounds; float — the
+    order-preserving bits transform is monotone and the ±0 outer widening
+    matches IEEE/Spark equality of -0.0 and +0.0 (NaN sorts greatest,
+    exactly Spark's comparison semantics); str — stat_min_str is a prefix
+    of the min (stat_min_str >= lo proves min >= lo) and every value
+    sorts <= stat_max_str (truncated-successor), so stat_max_str <= hi
+    proves containment; a NULL (unbounded) truncated upper bound never
+    claims containment.  Returns a 1-row DataFrame (``cnt`` long) — no
+    driver-side arithmetic."""
+    kind = col_kinds.get(pred_col)
+    meta = blocks.filter(F.col("column") == pred_col)
+    if kind == "str":
+        if not (isinstance(lo, str) and isinstance(hi, str)):
+            raise ValueError("str pred_col needs str bounds")
+        overlap = (
+            F.col("stat_max_str").isNull() | (F.col("stat_max_str") >= lo)
+        ) & (F.col("stat_min_str") <= hi)
+        contained = (
+            F.col("stat_min_str").isNotNull()
+            & (F.col("stat_min_str") >= lo)
+            & F.col("stat_max_str").isNotNull()
+            & (F.col("stat_max_str") <= hi)
+        )
+    elif kind in ("float64", "float32"):
+        olo = _float_ordered_scalar(-0.0 if lo == 0 else lo)
+        ohi = _float_ordered_scalar(+0.0 if hi == 0 else hi)
+        overlap = (F.col("stat_max") >= olo) & (F.col("stat_min") <= ohi)
+        contained = (F.col("stat_min") >= olo) & (F.col("stat_max") <= ohi)
+    elif kind in ("int", "int96_ts"):
+        overlap = (F.col("stat_max") >= lo) & (F.col("stat_min") <= hi)
+        contained = (F.col("stat_min") >= lo) & (F.col("stat_max") <= hi)
+    else:
+        raise ValueError(
+            f"pred_col {pred_col!r} has kind {kind!r}; "
+            "metadata counting needs an int, int96_ts, float or str column"
+        )
+    contained = contained & (F.col("n_nulls") == 0)
+    # metadata-only branch: fully-contained chunks contribute n_rows
+    meta_cnt = meta.filter(contained).agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("cnt")
+    )
+    # boundary branch: overlapping-but-not-contained chunks decode
+    # (page-pruned) and count the exact predicate
+    boundary_keep = (
+        meta.filter(overlap & ~contained).select("part_id").distinct()
+    )
+    boundary_blocks = blocks.join(
+        F.broadcast(boundary_keep), "part_id", "left_semi"
+    )
+    pred_kinds = {pred_col: kind}
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                pred_col,
+                {
+                    "int": T.LongType(),
+                    "int96_ts": T.LongType(),
+                    "float64": T.DoubleType(),
+                    "float32": T.FloatType(),
+                    "str": T.StringType(),
+                }[kind],
+                True,
+            )
+        ]
+    )
+    page_prune = (
+        (pred_col, lo, hi)
+        if kind in ("int", "int96_ts", "str")
+        else (
+            pred_col,
+            _float_ordered_scalar(-0.0 if lo == 0 else lo),
+            _float_ordered_scalar(+0.0 if hi == 0 else hi),
+        )
+    )
+    boundary_cnt = (
+        decode_df(
+            boundary_blocks, pred_col, pred_kinds, out_schema,
+            prune=page_prune,
+        )
+        .filter((F.col(pred_col) >= lo) & (F.col(pred_col) <= hi))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return meta_cnt.unionAll(boundary_cnt).agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
 def _roundtrip_preds(
     df: DataFrame,
     key_col: str,

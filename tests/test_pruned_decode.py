@@ -1159,6 +1159,18 @@ def test_persisted_blocks_prune_pushes_to_scan(spark, tmp_path):
     )
     assert got_m == [(i, i) for i in range(5_000, 6_001)]
 
+    # metadata-first COUNT over the persisted table: exact, and the
+    # containment bounds push to the blocks scan
+    from parquet_python_spark.operators.generic_codec import (
+        count_filtered_meta,
+    )
+
+    cnt_df = count_filtered_meta(blocks, kinds, "k", 2_500, 17_499)
+    p_c = plan(cnt_df)
+    assert "GreaterThanOrEqual(stat_min,2500)" in p_c
+    assert "LessThanOrEqual(stat_max,17499)" in p_c
+    assert cnt_df.first()["cnt"] == 15_000
+
 
 def test_or_predicate_prune_union_and_exact(spark):
     """Disjunctive pruning: OR of two distant ranges decodes ~2 pages via
@@ -1340,3 +1352,52 @@ def test_prune_algebra_properties():
                 assert all(v <= chi for v in vals if v is not None)
 
     check_str_pages()
+
+
+def test_count_filtered_meta_exact_and_metadata_only(spark):
+    """Metadata-first COUNT: fully-contained chunks contribute n_rows
+    without decoding (evidence: the contained classifier claims chunks),
+    boundary chunks decode page-pruned; the total is exact for int, float
+    and str predicates, with and without nulls."""
+    from parquet_python_spark.operators.generic_codec import (
+        count_filtered_meta,
+        encode_df,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("f"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("t"),
+        F.when(F.col("id") % 9 == 0, None).otherwise(F.col("id")).alias("w"),
+    )
+    kinds = {"k": "int", "f": "float64", "t": "str", "w": "int"}
+    blocks = encode_df(df, "k", kinds, n_parts=8, partitioning="range").cache()
+
+    # predicate spanning several whole chunks + two boundary halves
+    lo, hi = 7_500, 32_499
+    got = count_filtered_meta(blocks, kinds, "k", lo, hi).first()["cnt"]
+    assert got == hi - lo + 1
+    # metadata-only evidence: at least one chunk is fully contained
+    contained = blocks.filter(
+        (F.col("column") == "k")
+        & (F.col("stat_min") >= lo) & (F.col("stat_max") <= hi)
+        & (F.col("n_nulls") == 0)
+    ).count()
+    assert contained >= 1
+    # float and str predicates agree with the row-level truth
+    got_f = count_filtered_meta(blocks, kinds, "f", 7_500.0, 32_499.0).first()["cnt"]
+    assert got_f == hi - lo + 1
+    slo, shi = "s00007500", "s00032499"
+    got_s = count_filtered_meta(blocks, kinds, "t", slo, shi).first()["cnt"]
+    assert got_s == hi - lo + 1
+    # nullable column: null-bearing chunks never claim containment, and
+    # the count still matches the exact filter
+    exp_w = df.filter((F.col("w") >= lo) & (F.col("w") <= hi)).count()
+    got_w = count_filtered_meta(blocks, kinds, "w", lo, hi).first()["cnt"]
+    assert got_w == exp_w
+    # empty predicate: zero, not null
+    assert count_filtered_meta(blocks, kinds, "k", -10, -5).first()["cnt"] == 0
+    with pytest.raises(ValueError, match="metadata counting"):
+        count_filtered_meta(blocks, {"k": "bool"}, "k", 0, 1)
+    blocks.unpersist()
