@@ -1608,6 +1608,32 @@ def count_filtered_meta(
     )
 
 
+def count_null_meta(
+    blocks: DataFrame,
+    col_kinds: dict[str, str],
+    pred_col: str,
+    want_null: bool,
+) -> DataFrame:
+    """COUNT(*) WHERE pred_col IS [NOT] NULL from metadata ALONE: the
+    per-chunk null counts are exact, so the answer is sum(n_nulls) (or
+    sum(n_rows - n_nulls)) over the column's chunk rows — zero payloads
+    read at ANY selectivity, the degenerate-best case of statistics-only
+    evaluation.  Returns a 1-row DataFrame (``cnt`` long)."""
+    kind = col_kinds.get(pred_col)
+    if kind is None or kind in _LIST_KINDS:
+        raise ValueError(
+            f"pred_col {pred_col!r} has kind {kind!r}; "
+            "null counting needs a scalar column"
+        )
+    term = (
+        F.col("n_nulls") if want_null else F.col("n_rows") - F.col("n_nulls")
+    )
+    return (
+        blocks.filter(F.col("column") == pred_col)
+        .agg(F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("cnt"))
+    )
+
+
 def _roundtrip_preds(
     df: DataFrame,
     key_col: str,

@@ -1401,3 +1401,38 @@ def test_count_filtered_meta_exact_and_metadata_only(spark):
     with pytest.raises(ValueError, match="metadata counting"):
         count_filtered_meta(blocks, {"k": "bool"}, "k", 0, 1)
     blocks.unpersist()
+
+
+def test_count_null_meta_zero_decode(spark):
+    """IS [NOT] NULL counting is pure metadata: exact at any selectivity,
+    and structurally payload-free (no decode function in its source)."""
+    import inspect
+
+    from parquet_python_spark.operators.generic_codec import (
+        count_null_meta,
+        encode_df,
+    )
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id")).alias("w"),
+    )
+    kinds = {"k": "int", "w": "int"}
+    blocks = encode_df(df, "k", kinds, n_parts=4, partitioning="range").cache()
+    assert count_null_meta(blocks, kinds, "w", True).first()["cnt"] == 2_500
+    assert count_null_meta(blocks, kinds, "w", False).first()["cnt"] == 7_500
+    assert count_null_meta(blocks, kinds, "k", True).first()["cnt"] == 0
+    import ast
+
+    # structurally payload-free: no decode call anywhere in the function
+    # body (docstring text excluded)
+    tree = ast.parse(inspect.getsource(count_null_meta))
+    calls = {
+        n.func.id if isinstance(n.func, ast.Name) else getattr(n.func, "attr", "")
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call)
+    }
+    assert not any("decode" in c or "payload" in c for c in calls), calls
+    with pytest.raises(ValueError, match="scalar column"):
+        count_null_meta(blocks, {"a": "int_list"}, "a", True)
+    blocks.unpersist()
