@@ -1059,9 +1059,12 @@ def decode_df_pruned(
 def _range_keep(
     kind: str | None, pred_col: str, lo, hi
 ) -> tuple:
-    """(metadata keep predicate, page-prune tuple or None) for a range
-    predicate — the kind dispatch shared by the single- and
-    multi-predicate prunes."""
+    """(overlap keep predicate, page-prune tuple or None, containment
+    predicate) for a range predicate — the kind dispatch shared by the
+    single-/multi-predicate prunes AND the metadata-only count, so the
+    bound normalization (±0 widening, truncated string semantics) lives
+    in exactly one place.  Containment = every present value provably in
+    [lo, hi] (an unbounded truncated string upper never claims it)."""
     if kind == "str":
         if not (isinstance(lo, str) and isinstance(hi, str)):
             raise ValueError("str pred_col needs str bounds")
@@ -1073,6 +1076,14 @@ def _range_keep(
         # surviving chunks additionally skip pages via the per-page
         # truncated string bounds (str twin of the int page stats)
         page_prune = (pred_col, lo, hi)
+        # stat_min_str is a PREFIX of the min (>= lo proves min >= lo);
+        # every value sorts <= stat_max_str (truncated successor)
+        contained = (
+            F.col("stat_min_str").isNotNull()
+            & (F.col("stat_min_str") >= lo)
+            & F.col("stat_max_str").isNotNull()
+            & (F.col("stat_max_str") <= hi)
+        )
     elif kind in ("float64", "float32"):
         if any(
             isinstance(b, bool) or not isinstance(b, (int, float))
@@ -1083,7 +1094,8 @@ def _range_keep(
         # The transform distinguishes -0.0 (< +0.0) while IEEE/Spark
         # comparison does not, so widen zero bounds to the ±0 pair's outer
         # edge — otherwise a chunk whose max is -0.0 would be pruned for
-        # lo=0.0 even though -0.0 >= 0.0 is true row-side
+        # lo=0.0 even though -0.0 >= 0.0 is true row-side (the widening is
+        # equally sound for containment: IEEE equates the pair)
         olo = _float_ordered_scalar(-0.0 if lo == 0 else lo)
         ohi = _float_ordered_scalar(+0.0 if hi == 0 else hi)
         keep_pred = (
@@ -1092,6 +1104,7 @@ def _range_keep(
             & (F.col("stat_min") <= ohi)
         )
         page_prune = (pred_col, olo, ohi)
+        contained = (F.col("stat_min") >= olo) & (F.col("stat_max") <= ohi)
     elif kind in ("int", "int96_ts"):
         keep_pred = (
             (F.col("column") == pred_col)
@@ -1099,6 +1112,7 @@ def _range_keep(
             & (F.col("stat_min") <= hi)
         )
         page_prune = (pred_col, lo, hi)
+        contained = (F.col("stat_min") >= lo) & (F.col("stat_max") <= hi)
     else:
         # stats exist only for int/str kinds; a NULL-stat comparison would
         # prune EVERYTHING — a silent wrong answer, so reject loudly
@@ -1106,7 +1120,7 @@ def _range_keep(
             f"pred_col {pred_col!r} has kind {kind!r}; "
             "min/max pruning needs an int, int96_ts, float or str column"
         )
-    return keep_pred, page_prune
+    return keep_pred, page_prune, contained
 
 
 def _bloom_keep_udf(probes: tuple):
@@ -1177,7 +1191,7 @@ def _pred_keep(blocks: DataFrame, col_kinds: dict[str, str], pred: tuple):
     op, pred_col = pred[0], pred[1]
     kind = col_kinds.get(pred_col)
     if op == "range":
-        keep_pred, page_prune = _range_keep(kind, pred_col, *pred[2:4])
+        keep_pred, page_prune, _ = _range_keep(kind, pred_col, *pred[2:4])
         return (
             blocks.filter(keep_pred).select("part_id").distinct(),
             # a kind with no page bound (None per _range_keep's contract)
@@ -1531,32 +1545,12 @@ def count_filtered_meta(
     claims containment.  Returns a 1-row DataFrame (``cnt`` long) — no
     driver-side arithmetic."""
     kind = col_kinds.get(pred_col)
+    # ONE source of truth for the bound normalization (±0 widening,
+    # truncated string semantics, float-bound validation): the same
+    # dispatch every pruned decode uses
+    overlap, page_prune, contained = _range_keep(kind, pred_col, lo, hi)
     meta = blocks.filter(F.col("column") == pred_col)
-    if kind == "str":
-        if not (isinstance(lo, str) and isinstance(hi, str)):
-            raise ValueError("str pred_col needs str bounds")
-        overlap = (
-            F.col("stat_max_str").isNull() | (F.col("stat_max_str") >= lo)
-        ) & (F.col("stat_min_str") <= hi)
-        contained = (
-            F.col("stat_min_str").isNotNull()
-            & (F.col("stat_min_str") >= lo)
-            & F.col("stat_max_str").isNotNull()
-            & (F.col("stat_max_str") <= hi)
-        )
-    elif kind in ("float64", "float32"):
-        olo = _float_ordered_scalar(-0.0 if lo == 0 else lo)
-        ohi = _float_ordered_scalar(+0.0 if hi == 0 else hi)
-        overlap = (F.col("stat_max") >= olo) & (F.col("stat_min") <= ohi)
-        contained = (F.col("stat_min") >= olo) & (F.col("stat_max") <= ohi)
-    elif kind in ("int", "int96_ts"):
-        overlap = (F.col("stat_max") >= lo) & (F.col("stat_min") <= hi)
-        contained = (F.col("stat_min") >= lo) & (F.col("stat_max") <= hi)
-    else:
-        raise ValueError(
-            f"pred_col {pred_col!r} has kind {kind!r}; "
-            "metadata counting needs an int, int96_ts, float or str column"
-        )
+    _require_encoded_column(blocks, meta, pred_col)
     contained = contained & (F.col("n_nulls") == 0)
     # metadata-only branch: fully-contained chunks contribute n_rows
     meta_cnt = meta.filter(contained).agg(
@@ -1586,15 +1580,6 @@ def count_filtered_meta(
             )
         ]
     )
-    page_prune = (
-        (pred_col, lo, hi)
-        if kind in ("int", "int96_ts", "str")
-        else (
-            pred_col,
-            _float_ordered_scalar(-0.0 if lo == 0 else lo),
-            _float_ordered_scalar(+0.0 if hi == 0 else hi),
-        )
-    )
     boundary_cnt = (
         decode_df(
             boundary_blocks, pred_col, pred_kinds, out_schema,
@@ -1606,6 +1591,21 @@ def count_filtered_meta(
     return meta_cnt.unionAll(boundary_cnt).agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
+
+
+def _require_encoded_column(
+    blocks: DataFrame, meta: DataFrame, pred_col: str
+) -> None:
+    """Loud-fail when ``pred_col`` was never encoded into a NON-EMPTY
+    blocks table: a metadata count over a missing column would otherwise
+    return a definitive-looking 0 for both IS NULL and IS NOT NULL.  An
+    empty blocks table (empty input) is legitimate — 0 is the truth.
+    Metadata-sized check (pushed filter + limit 1)."""
+    if meta.isEmpty() and not blocks.isEmpty():
+        raise ValueError(
+            f"column {pred_col!r} has no chunks in this blocks table "
+            "(encoded with different col_kinds?)"
+        )
 
 
 def count_null_meta(
@@ -1625,12 +1625,13 @@ def count_null_meta(
             f"pred_col {pred_col!r} has kind {kind!r}; "
             "null counting needs a scalar column"
         )
+    meta = blocks.filter(F.col("column") == pred_col)
+    _require_encoded_column(blocks, meta, pred_col)
     term = (
         F.col("n_nulls") if want_null else F.col("n_rows") - F.col("n_nulls")
     )
-    return (
-        blocks.filter(F.col("column") == pred_col)
-        .agg(F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("cnt"))
+    return meta.agg(
+        F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("cnt")
     )
 
 

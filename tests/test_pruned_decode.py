@@ -1398,8 +1398,14 @@ def test_count_filtered_meta_exact_and_metadata_only(spark):
     assert got_w == exp_w
     # empty predicate: zero, not null
     assert count_filtered_meta(blocks, kinds, "k", -10, -5).first()["cnt"] == 0
-    with pytest.raises(ValueError, match="metadata counting"):
+    with pytest.raises(ValueError, match="min/max pruning"):
         count_filtered_meta(blocks, {"k": "bool"}, "k", 0, 1)
+    # float-bound validation shared with the pruned decodes
+    with pytest.raises(ValueError, match="numeric bounds"):
+        count_filtered_meta(blocks, kinds, "f", True, 2.0)
+    # a column that was never encoded fails loudly, not cnt=0
+    with pytest.raises(ValueError, match="no chunks"):
+        count_filtered_meta(blocks, {**kinds, "zz": "int"}, "zz", 0, 1)
     blocks.unpersist()
 
 
@@ -1435,4 +1441,6 @@ def test_count_null_meta_zero_decode(spark):
     assert not any("decode" in c or "payload" in c for c in calls), calls
     with pytest.raises(ValueError, match="scalar column"):
         count_null_meta(blocks, {"a": "int_list"}, "a", True)
+    with pytest.raises(ValueError, match="no chunks"):
+        count_null_meta(blocks, {"zz": "int"}, "zz", True)
     blocks.unpersist()
