@@ -1593,6 +1593,73 @@ def count_filtered_meta(
     )
 
 
+def minmax_filtered_meta(
+    blocks: DataFrame,
+    col_kinds: dict[str, str],
+    pred_col: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """MIN(pred_col), MAX(pred_col) WHERE pred_col BETWEEN lo AND hi,
+    metadata-first: a chunk with ``stat_min >= lo`` contributes its exact
+    stat_min as a min candidate WITHOUT decoding — stat_min is a real
+    value present in the chunk and already inside the bounds (the
+    symmetric argument gives stat_max as a max candidate when
+    ``stat_max <= hi``).  Only chunks straddling a bound (some values
+    below lo or above hi) decode, page-pruned.  Returns a 1-row DataFrame
+    ``(mn, mx)`` — SQL semantics: NULL when nothing matches.
+
+    Int kinds only, loudly: float stats live in the order-preserving
+    bits space and Spark has no longBitsToDouble to map a metadata
+    winner back; truncated string bounds are prefixes/successors, not
+    attainable values.  Both take the decode path via roundtrip_filtered
+    instead."""
+    kind = col_kinds.get(pred_col)
+    if kind not in ("int", "int96_ts"):
+        raise ValueError(
+            f"pred_col {pred_col!r} has kind {kind!r}; "
+            "metadata min/max needs an int or int96_ts column"
+        )
+    overlap, page_prune, _ = _range_keep(kind, pred_col, lo, hi)
+    meta = blocks.filter(F.col("column") == pred_col)
+    _require_encoded_column(blocks, meta, pred_col)
+    # metadata candidates (conditional aggregation over the chunk stats)
+    cand = meta.agg(
+        F.min(
+            F.when(overlap & (F.col("stat_min") >= lo), F.col("stat_min"))
+        ).alias("mn"),
+        F.max(
+            F.when(overlap & (F.col("stat_max") <= hi), F.col("stat_max"))
+        ).alias("mx"),
+    )
+    # chunks straddling either bound decode (page-pruned) for the exact
+    # extremes of their in-range values
+    straddle = (
+        meta.filter(
+            overlap & ((F.col("stat_min") < lo) | (F.col("stat_max") > hi))
+        )
+        .select("part_id")
+        .distinct()
+    )
+    dec_blocks = blocks.join(F.broadcast(straddle), "part_id", "left_semi")
+    out_schema = T.StructType([T.StructField(pred_col, T.LongType(), True)])
+    dec = (
+        decode_df(
+            dec_blocks, pred_col, {pred_col: kind}, out_schema,
+            prune=page_prune,
+        )
+        .filter((F.col(pred_col) >= lo) & (F.col(pred_col) <= hi))
+        .agg(
+            F.min(pred_col).alias("mn"), F.max(pred_col).alias("mx")
+        )
+    )
+    # min/max skip NULLs, so an empty branch never masks the other
+    return cand.unionAll(dec).agg(
+        F.min("mn").cast("long").alias("mn"),
+        F.max("mx").cast("long").alias("mx"),
+    )
+
+
 def _require_encoded_column(
     blocks: DataFrame, meta: DataFrame, pred_col: str
 ) -> None:

@@ -1444,3 +1444,47 @@ def test_count_null_meta_zero_decode(spark):
     with pytest.raises(ValueError, match="no chunks"):
         count_null_meta(blocks, {"zz": "int"}, "zz", True)
     blocks.unpersist()
+
+
+def test_minmax_filtered_meta_exact(spark):
+    """Metadata-first MIN/MAX: candidates come from chunk stats without
+    decoding; straddling chunks decode; results match the row-level truth
+    across boundary shapes, nulls, and the empty predicate."""
+    from parquet_python_spark.operators.generic_codec import (
+        encode_df,
+        minmax_filtered_meta,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") * 3).alias("k"),  # stride-3 values: bounds often miss
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") * 3).alias("w"),
+    )
+    kinds = {"k": "int", "w": "int"}
+    blocks = encode_df(df, "k", kinds, n_parts=8, partitioning="range").cache()
+
+    for col in ("k", "w"):
+        for lo, hi in [
+            (7_501, 62_499),   # straddles two chunks, bounds off-stride
+            (0, 10**9),        # contains everything (pure metadata)
+            (29_999, 30_001),  # single matching value
+            (-50, -10),        # empty
+            (7_500, 7_500),    # point hit on a value
+        ]:
+            got = minmax_filtered_meta(blocks, kinds, col, lo, hi).first()
+            exp = (
+                df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+                .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+                .first()
+            )
+            assert (got["mn"], got["mx"]) == (exp["mn"], exp["mx"]), (
+                col, lo, hi, got, exp,
+            )
+    # metadata evidence: a bounds-aligned predicate needs no straddling
+    # chunks at all (every overlapping chunk is a candidate-only chunk)
+    meta = blocks.filter(F.col("column") == "k").collect()
+    full = [r for r in meta if r["stat_min"] >= 0 and r["stat_max"] <= 10**9]
+    assert len(full) == len(meta)
+    with pytest.raises(ValueError, match="metadata min/max"):
+        minmax_filtered_meta(blocks, {"k": "float64"}, "k", 0, 1)
+    blocks.unpersist()
