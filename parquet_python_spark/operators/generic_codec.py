@@ -1079,7 +1079,8 @@ def _range_keep(
         # stat_min_str is a PREFIX of the min (>= lo proves min >= lo);
         # every value sorts <= stat_max_str (truncated successor)
         contained = (
-            F.col("stat_min_str").isNotNull()
+            (F.col("column") == pred_col)
+            & F.col("stat_min_str").isNotNull()
             & (F.col("stat_min_str") >= lo)
             & F.col("stat_max_str").isNotNull()
             & (F.col("stat_max_str") <= hi)
@@ -1104,7 +1105,11 @@ def _range_keep(
             & (F.col("stat_min") <= ohi)
         )
         page_prune = (pred_col, olo, ohi)
-        contained = (F.col("stat_min") >= olo) & (F.col("stat_max") <= ohi)
+        contained = (
+            (F.col("column") == pred_col)
+            & (F.col("stat_min") >= olo)
+            & (F.col("stat_max") <= ohi)
+        )
     elif kind in ("int", "int96_ts"):
         keep_pred = (
             (F.col("column") == pred_col)
@@ -1112,7 +1117,11 @@ def _range_keep(
             & (F.col("stat_min") <= hi)
         )
         page_prune = (pred_col, lo, hi)
-        contained = (F.col("stat_min") >= lo) & (F.col("stat_max") <= hi)
+        contained = (
+            (F.col("column") == pred_col)
+            & (F.col("stat_min") >= lo)
+            & (F.col("stat_max") <= hi)
+        )
     else:
         # stats exist only for int/str kinds; a NULL-stat comparison would
         # prune EVERYTHING — a silent wrong answer, so reject loudly
@@ -1620,7 +1629,7 @@ def minmax_filtered_meta(
             f"pred_col {pred_col!r} has kind {kind!r}; "
             "metadata min/max needs an int or int96_ts column"
         )
-    overlap, page_prune, _ = _range_keep(kind, pred_col, lo, hi)
+    overlap, page_prune, contained = _range_keep(kind, pred_col, lo, hi)
     meta = blocks.filter(F.col("column") == pred_col)
     _require_encoded_column(blocks, meta, pred_col)
     # metadata candidates (conditional aggregation over the chunk stats)
@@ -1632,14 +1641,11 @@ def minmax_filtered_meta(
             F.when(overlap & (F.col("stat_max") <= hi), F.col("stat_max"))
         ).alias("mx"),
     )
-    # chunks straddling either bound decode (page-pruned) for the exact
-    # extremes of their in-range values
+    # chunks straddling a bound (overlapping but not contained — the SAME
+    # classifier count_filtered_meta uses) decode page-pruned for the
+    # exact extremes of their in-range values
     straddle = (
-        meta.filter(
-            overlap & ((F.col("stat_min") < lo) | (F.col("stat_max") > hi))
-        )
-        .select("part_id")
-        .distinct()
+        meta.filter(overlap & ~contained).select("part_id").distinct()
     )
     dec_blocks = blocks.join(F.broadcast(straddle), "part_id", "left_semi")
     out_schema = T.StructType([T.StructField(pred_col, T.LongType(), True)])
@@ -1668,7 +1674,12 @@ def _require_encoded_column(
     return a definitive-looking 0 for both IS NULL and IS NOT NULL.  An
     empty blocks table (empty input) is legitimate — 0 is the truth.
     Metadata-sized check (pushed filter + limit 1)."""
-    if meta.isEmpty() and not blocks.isEmpty():
+    # probe on a single narrow column: take(1) on the full schema would
+    # ship a chunk payload blob to the driver just to test emptiness
+    if (
+        meta.select("part_id").isEmpty()
+        and not blocks.select("part_id").isEmpty()
+    ):
         raise ValueError(
             f"column {pred_col!r} has no chunks in this blocks table "
             "(encoded with different col_kinds?)"

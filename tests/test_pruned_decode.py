@@ -1480,11 +1480,14 @@ def test_minmax_filtered_meta_exact(spark):
             assert (got["mn"], got["mx"]) == (exp["mn"], exp["mx"]), (
                 col, lo, hi, got, exp,
             )
-    # metadata evidence: a bounds-aligned predicate needs no straddling
-    # chunks at all (every overlapping chunk is a candidate-only chunk)
-    meta = blocks.filter(F.col("column") == "k").collect()
-    full = [r for r in meta if r["stat_min"] >= 0 and r["stat_max"] <= 10**9]
-    assert len(full) == len(meta)
+    # metadata evidence: for the all-containing predicate the STRADDLE
+    # set (the function's decode branch) is empty — the same classifier
+    # the function uses, so a regression that decodes contained chunks
+    # would surface here
+    from parquet_python_spark.operators.generic_codec import _range_keep
+
+    overlap, _, contained = _range_keep("int", "k", 0, 10**9)
+    assert blocks.filter(overlap & ~contained).count() == 0
     with pytest.raises(ValueError, match="metadata min/max"):
         minmax_filtered_meta(blocks, {"k": "float64"}, "k", 0, 1)
     blocks.unpersist()
