@@ -284,6 +284,86 @@ def main() -> None:
                     for d in reps[1:]:
                         out10 = out10.unionAll(d)
                 out10.write.parquet(f"{sf1_dir}/{tbl}.parquet")
+            # -------- prune evidence at the 10x scale (extras only — NOT
+            # in the headline sums, preserving round-over-round
+            # continuity): full decode vs stats-pruned decode vs
+            # metadata-only COUNT, all over the SAME persisted blocks, so
+            # the ratios isolate what pruning buys.
+            from pyspark import StorageLevel
+
+            from parquet_python_spark.operators.generic_codec import (
+                _arrow_safe_schema,
+                count_filtered_meta,
+                decode_df_pruned,
+                encode_df,
+            )
+
+            li = spark.read.parquet(f"{sf1_dir}/lineitem.parquet")
+            pkinds = {"l_orderkey": "int", "l_partkey": "int", "l_quantity": "float64"}
+            pblocks = encode_df(
+                li, "l_orderkey", pkinds, partitioning="range"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            pblocks.count()  # materialize outside the timed region
+            pschema = _arrow_safe_schema(li.select(*pkinds).schema, pkinds)
+            plo, phi = 1000, 3000
+            t_full = t_pruned = t_meta = float("inf")
+            for _ in range(max(2, repeats)):
+                from parquet_python_spark.operators.generic_codec import decode_df
+
+                t0 = time.perf_counter()
+                consume(
+                    decode_df(pblocks, "l_orderkey", pkinds, pschema).filter(
+                        (F.col("l_orderkey") >= plo) & (F.col("l_orderkey") <= phi)
+                    )
+                )
+                t_full = min(t_full, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                consume(
+                    decode_df_pruned(
+                        pblocks, "l_orderkey", pkinds, pschema, "l_orderkey",
+                        plo, phi,
+                    ).filter(
+                        (F.col("l_orderkey") >= plo) & (F.col("l_orderkey") <= phi)
+                    )
+                )
+                t_pruned = min(t_pruned, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                count_filtered_meta(
+                    pblocks, pkinds, "l_orderkey", plo, phi
+                ).collect()
+                t_meta = min(t_meta, time.perf_counter() - t0)
+            # bytes evidence (deterministic, host-noise-immune — and the
+            # quantity that actually scales: wall times at this size are
+            # floored by per-job scheduling, while skipped payload bytes
+            # grow linearly with data): encoded bytes of ALL chunks vs
+            # chunks surviving the stats prune
+            keep_parts = (
+                pblocks.filter(
+                    (F.col("column") == "l_orderkey")
+                    & (F.col("stat_max") >= plo)
+                    & (F.col("stat_min") <= phi)
+                )
+                .select("part_id")
+                .distinct()
+            )
+            byte_rows = (
+                pblocks.join(keep_parts, "part_id", "left_semi")
+                .agg(F.sum("enc_bytes"))
+                .collect()[0][0]
+            )
+            bytes_all = pblocks.agg(F.sum("enc_bytes")).collect()[0][0]
+            pblocks.unpersist()
+            extras["prune_full_s"] = round(t_full, 3)
+            extras["prune_pruned_s"] = round(t_pruned, 3)
+            extras["prune_meta_count_s"] = round(t_meta, 3)
+            extras["prune_speedup"] = round(t_full / max(t_pruned, 1e-9), 2)
+            extras["prune_bytes_all"] = int(bytes_all)
+            extras["prune_bytes_kept"] = int(byte_rows)
+            extras["prune_bytes_skipped_pct"] = round(
+                100.0 * (1 - byte_rows / max(bytes_all, 1)), 1
+            )
+
+
             for r in range(sf1_repeats):
                 for name in [
                     "rt_lineitem_ints",
