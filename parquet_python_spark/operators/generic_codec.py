@@ -1666,6 +1666,79 @@ def minmax_filtered_meta(
     )
 
 
+def topk_filtered_meta(
+    blocks: DataFrame,
+    col_kinds: dict[str, str],
+    col: str,
+    k: int,
+    ascending: bool = True,
+) -> DataFrame:
+    """ORDER BY ``col`` LIMIT ``k`` (over NON-NULL values) decoding only
+    the chunks that can hold one of the k extreme values — the zone-map
+    top-k pushdown.
+
+    Bound derivation (ascending): walk chunks in stat_max order,
+    accumulating present-value counts; the first prefix holding >= k
+    values proves the k smallest values are all <= B = that prefix's
+    largest stat_max (the prefix alone contains >= k values <= B).  Only
+    chunks with stat_min <= B can contribute, so the rest never decode.
+    Descending mirrors with stat_min / >=.  The walk is a window over the
+    METADATA rows (one per chunk — metadata-sized by construction, so the
+    single-partition window is fine), and B flows into the keep filter
+    through a broadcast 1-row join: the whole plan stays lazy, nothing
+    collects.  If the table holds fewer than k present values B is NULL
+    and every chunk decodes (the correct degenerate).  Int kinds only
+    (float stats live in ordered-bits space; string bounds are
+    truncated, not attainable).  Ties at the k-th value are broken
+    arbitrarily, exactly like Spark's own orderBy().limit()."""
+    from pyspark.sql import Window
+
+    kind = col_kinds.get(col)
+    if kind not in ("int", "int96_ts"):
+        raise ValueError(
+            f"col {col!r} has kind {kind!r}; "
+            "metadata top-k needs an int or int96_ts column"
+        )
+    if k <= 0:
+        raise ValueError("k must be positive")
+    meta0 = blocks.filter(F.col("column") == col)
+    _require_encoded_column(blocks, meta0, col)
+    # all-null chunks (NULL stats) hold no present values: not candidates
+    meta = meta0.filter(F.col("stat_min").isNotNull())
+    edge, cmp_col = (
+        ("stat_max", "stat_min") if ascending else ("stat_min", "stat_max")
+    )
+    order = F.col(edge).asc() if ascending else F.col(edge).desc()
+    w = Window.orderBy(order, F.col("part_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    acc = meta.withColumn(
+        "cum", F.sum(F.col("n_rows") - F.col("n_nulls")).over(w)
+    )
+    bound = acc.filter(F.col("cum") >= k).agg(
+        (F.min(edge) if ascending else F.max(edge)).alias("b")
+    )
+    keep_cmp = (
+        (F.col(cmp_col) <= F.col("b"))
+        if ascending
+        else (F.col(cmp_col) >= F.col("b"))
+    )
+    keep = (
+        meta.join(F.broadcast(bound))
+        .filter(F.col("b").isNull() | keep_cmp)
+        .select("part_id")
+        .distinct()
+    )
+    pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
+    out_schema = T.StructType([T.StructField(col, T.LongType(), True)])
+    dec = decode_df(pruned, col, {col: kind}, out_schema)
+    return (
+        dec.filter(F.col(col).isNotNull())
+        .orderBy(F.col(col).asc() if ascending else F.col(col).desc())
+        .limit(k)
+    )
+
+
 def _require_encoded_column(
     blocks: DataFrame, meta: DataFrame, pred_col: str
 ) -> None:

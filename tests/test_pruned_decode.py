@@ -1491,3 +1491,67 @@ def test_minmax_filtered_meta_exact(spark):
     with pytest.raises(ValueError, match="metadata min/max"):
         minmax_filtered_meta(blocks, {"k": "float64"}, "k", 0, 1)
     blocks.unpersist()
+
+
+def test_topk_filtered_meta_exact_and_pruned(spark):
+    """Zone-map top-k pushdown: exact value multisets both directions,
+    under nulls, ties, k > table, and hash layout; and the keep set is a
+    strict subset of chunks under range partitioning."""
+    from parquet_python_spark.operators.generic_codec import (
+        encode_df,
+        topk_filtered_meta,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        # duplicates (ties), nulls, and values uncorrelated with the key
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise((F.col("id") * 37) % 5_000)
+        .alias("v"),
+    )
+    kinds = {"k": "int", "v": "int"}
+    for part_mode in ("range", "hash"):
+        blocks = encode_df(
+            df, "k", kinds, n_parts=8, partitioning=part_mode
+        ).cache()
+        for col in ("k", "v"):
+            for asc in (True, False):
+                for kk in (5, 1_000):
+                    got = sorted(
+                        r[col]
+                        for r in topk_filtered_meta(
+                            blocks, kinds, col, kk, ascending=asc
+                        ).collect()
+                    )
+                    exp = sorted(
+                        r[col]
+                        for r in df.filter(F.col(col).isNotNull())
+                        .orderBy(
+                            F.col(col).asc() if asc else F.col(col).desc()
+                        )
+                        .limit(kk)
+                        .collect()
+                    )
+                    assert got == exp, (part_mode, col, asc, kk)
+        # k beyond the table: every present value, still exact
+        got_all = sorted(
+            r["k"]
+            for r in topk_filtered_meta(blocks, kinds, "k", n + 5).collect()
+        )
+        assert got_all == list(range(n))
+        blocks.unpersist()
+
+    # prune evidence under range layout: top-5 on the key decodes a
+    # strict subset of chunks (bound B lands in the first chunk)
+    blocks = encode_df(df, "k", kinds, n_parts=8, partitioning="range").cache()
+    meta = blocks.filter(F.col("column") == "k").collect()
+    by_edge = sorted(meta, key=lambda r: r["stat_max"])
+    b = by_edge[0]["stat_max"]  # first chunk already holds >= 5 values
+    keep = [r["part_id"] for r in meta if r["stat_min"] <= b]
+    assert len(keep) < len(meta)
+    with pytest.raises(ValueError, match="metadata top-k"):
+        topk_filtered_meta(blocks, {"k": "float64"}, "k", 5)
+    with pytest.raises(ValueError, match="positive"):
+        topk_filtered_meta(blocks, kinds, "k", 0)
+    blocks.unpersist()
