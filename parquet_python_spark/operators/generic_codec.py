@@ -1684,9 +1684,10 @@ def topk_filtered_meta(
     chunks with stat_min <= B can contribute, so the rest never decode.
     Descending mirrors with stat_min / >=.  The walk is a window over the
     METADATA rows (one per chunk — metadata-sized by construction, so the
-    single-partition window is fine), and B flows into the keep filter
-    through a broadcast 1-row join: the whole plan stays lazy, nothing
-    collects.  If the table holds fewer than k present values B is NULL
+    single-partition window is fine); B flows into the chunk keep filter
+    through a broadcast 1-row join and is additionally materialized once
+    (a metadata-sized job) so BOUNDARY chunks page-skip everything
+    provably beyond it.  If the table holds fewer than k present values B is NULL
     and every chunk decodes (the correct degenerate).  Int kinds only
     (float stats live in ordered-bits space; string bounds are
     truncated, not attainable).  Ties at the k-th value are broken
@@ -1729,9 +1730,23 @@ def topk_filtered_meta(
         .select("part_id")
         .distinct()
     )
-    pruned = blocks.join(F.broadcast(keep), "part_id", "left_semi")
+    # semi-join the SINGLE target column's chunk rows (decode only needs
+    # them — shipping every column's payload blobs through the shuffle
+    # would multiply the decoded-side bytes by the table's width)
+    pruned = meta.join(F.broadcast(keep), "part_id", "left_semi")
+    # materialize B once (metadata-sized job — the encoded-column guard
+    # above already runs actions) so boundary chunks page-skip too:
+    # ascending keeps only pages that may hold values <= B
+    b_val = bound.first()["b"]
+    prune = None
+    if b_val is not None:
+        prune = (
+            (col, -(2**63), int(b_val))
+            if ascending
+            else (col, int(b_val), 2**63 - 1)
+        )
     out_schema = T.StructType([T.StructField(col, T.LongType(), True)])
-    dec = decode_df(pruned, col, {col: kind}, out_schema)
+    dec = decode_df(pruned, col, {col: kind}, out_schema, prune=prune)
     return (
         dec.filter(F.col(col).isNotNull())
         .orderBy(F.col(col).asc() if ascending else F.col(col).desc())
