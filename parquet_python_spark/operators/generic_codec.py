@@ -1111,6 +1111,14 @@ def _range_keep(
             & (F.col("stat_max") <= ohi)
         )
     elif kind in ("int", "int96_ts"):
+        if any(
+            isinstance(b, bool) or not isinstance(b, (int, float))
+            for b in (lo, hi)
+        ):
+            # a str bound would cast to NULL against the bigint stats and
+            # silently prune EVERYTHING — same loud-fail policy as the
+            # str/float branches
+            raise ValueError("int pred_col needs numeric bounds")
         keep_pred = (
             (F.col("column") == pred_col)
             & (F.col("stat_max") >= lo)
@@ -1175,6 +1183,14 @@ def decode_df_pruned_multi(
     Output is a SUPERSET of matching rows — callers re-apply the exact
     row predicate, same contract as every other pruned decode."""
     preds = _normalize_preds(preds)
+    for c in sorted({p[1] for p in preds}):
+        # a predicate column with no chunk rows would silently produce an
+        # empty keep set (an empty result presented as definitive);
+        # unknown/list kinds skip the probe — the op dispatch raises the
+        # precise kind error for those
+        if col_kinds.get(c) is None or col_kinds.get(c) in _LIST_KINDS:
+            continue
+        _require_encoded_column(blocks, blocks.filter(F.col("column") == c), c)
     pruned = blocks
     page_prunes: list = []
     for pred in preds:
@@ -1310,6 +1326,13 @@ def decode_df_pruned_any(
     algebra: arbitrary AND-of-atoms and OR-of-atoms prunes (compose
     row-side for deeper nesting)."""
     preds = _normalize_preds(preds)
+    for c in sorted({p[1] for p in preds}):
+        # an unencoded member would silently DROP the rows only it admits
+        # — a wrong superset, worse than the AND case's empty result;
+        # unknown/list kinds fall through to the op dispatch's kind error
+        if col_kinds.get(c) is None or col_kinds.get(c) in _LIST_KINDS:
+            continue
+        _require_encoded_column(blocks, blocks.filter(F.col("column") == c), c)
     keep = None
     union_tuples: list = []
     page_ok = True
@@ -1570,7 +1593,10 @@ def count_filtered_meta(
     boundary_keep = (
         meta.filter(overlap & ~contained).select("part_id").distinct()
     )
-    boundary_blocks = blocks.join(
+    # semi-join the single pred_col's chunk rows (decode reads nothing
+    # else; the full blocks table would ship every column's payload blobs
+    # through the shuffle to decode one column)
+    boundary_blocks = meta.join(
         F.broadcast(boundary_keep), "part_id", "left_semi"
     )
     pred_kinds = {pred_col: kind}
@@ -1647,7 +1673,7 @@ def minmax_filtered_meta(
     straddle = (
         meta.filter(overlap & ~contained).select("part_id").distinct()
     )
-    dec_blocks = blocks.join(F.broadcast(straddle), "part_id", "left_semi")
+    dec_blocks = meta.join(F.broadcast(straddle), "part_id", "left_semi")
     out_schema = T.StructType([T.StructField(pred_col, T.LongType(), True)])
     dec = (
         decode_df(
@@ -1684,10 +1710,10 @@ def topk_filtered_meta(
     chunks with stat_min <= B can contribute, so the rest never decode.
     Descending mirrors with stat_min / >=.  The walk is a window over the
     METADATA rows (one per chunk — metadata-sized by construction, so the
-    single-partition window is fine); B flows into the chunk keep filter
-    through a broadcast 1-row join and is additionally materialized once
-    (a metadata-sized job) so BOUNDARY chunks page-skip everything
-    provably beyond it.  If the table holds fewer than k present values B is NULL
+    single-partition window is fine); B is materialized once (a
+    metadata-sized job) and reaches the chunk keep filter and the page
+    prune as a literal, so BOUNDARY chunks page-skip everything provably
+    beyond it.  If the table holds fewer than k present values B is NULL
     and every chunk decodes (the correct degenerate).  Int kinds only
     (float stats live in ordered-bits space; string bounds are
     truncated, not attainable).  Ties at the k-th value are broken
@@ -1716,35 +1742,38 @@ def topk_filtered_meta(
     acc = meta.withColumn(
         "cum", F.sum(F.col("n_rows") - F.col("n_nulls")).over(w)
     )
-    bound = acc.filter(F.col("cum") >= k).agg(
-        (F.min(edge) if ascending else F.max(edge)).alias("b")
+    # materialize B ONCE (metadata-sized job — the encoded-column guard
+    # above already runs actions) and feed it to the keep filter and the
+    # page prune as a literal: routing it through a broadcast join would
+    # re-evaluate the window (and an unpersisted encode lineage) a second
+    # time when the result is consumed
+    b_row = (
+        acc.filter(F.col("cum") >= k)
+        .agg((F.min(edge) if ascending else F.max(edge)).alias("b"))
+        .first()
     )
-    keep_cmp = (
-        (F.col(cmp_col) <= F.col("b"))
-        if ascending
-        else (F.col(cmp_col) >= F.col("b"))
-    )
-    keep = (
-        meta.join(F.broadcast(bound))
-        .filter(F.col("b").isNull() | keep_cmp)
-        .select("part_id")
-        .distinct()
-    )
+    b_val = None if b_row["b"] is None else int(b_row["b"])
+    if b_val is None:
+        keep = meta.select("part_id").distinct()
+        prune = None
+    else:
+        keep = (
+            meta.filter(
+                (F.col(cmp_col) <= b_val)
+                if ascending
+                else (F.col(cmp_col) >= b_val)
+            )
+            .select("part_id")
+            .distinct()
+        )
+        # boundary chunks page-skip everything provably beyond B
+        prune = (
+            (col, -(2**63), b_val) if ascending else (col, b_val, 2**63 - 1)
+        )
     # semi-join the SINGLE target column's chunk rows (decode only needs
     # them — shipping every column's payload blobs through the shuffle
     # would multiply the decoded-side bytes by the table's width)
     pruned = meta.join(F.broadcast(keep), "part_id", "left_semi")
-    # materialize B once (metadata-sized job — the encoded-column guard
-    # above already runs actions) so boundary chunks page-skip too:
-    # ascending keeps only pages that may hold values <= B
-    b_val = bound.first()["b"]
-    prune = None
-    if b_val is not None:
-        prune = (
-            (col, -(2**63), int(b_val))
-            if ascending
-            else (col, int(b_val), 2**63 - 1)
-        )
     out_schema = T.StructType([T.StructField(col, T.LongType(), True)])
     dec = decode_df(pruned, col, {col: kind}, out_schema, prune=prune)
     return (
@@ -1801,6 +1830,31 @@ def count_null_meta(
     )
 
 
+def _encode_persisted(df, key_col, col_kinds, n_parts):
+    """encode -> MEMORY_AND_DISK persist -> cache registration (the shared
+    head of every filtered round-trip) -> (blocks, input schema)."""
+    from pyspark import StorageLevel
+
+    in_schema = df.select(*list(col_kinds)).schema
+    blocks = encode_df(
+        df, key_col, col_kinds, n_parts, partitioning="range"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _retain_filtered_blocks(blocks)
+    return blocks, in_schema
+
+
+def _finish_decoded(decoded, in_schema, preds, combine):
+    """exact predicate re-apply + output cast (the shared tail of every
+    filtered round-trip)."""
+    out = decoded.filter(_pred_row_expr(preds, combine=combine))
+    return out.select(
+        *[
+            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
+            for f in in_schema.fields
+        ]
+    )
+
+
 def _roundtrip_preds(
     df: DataFrame,
     key_col: str,
@@ -1813,28 +1867,15 @@ def _roundtrip_preds(
     """Shared encode -> persist -> pruned decode -> exact re-apply body
     for the AND/OR wrappers (one place for the persist policy, the blocks
     cache registration and the output cast)."""
-    from pyspark import StorageLevel
-
     # normalize BEFORE the double read (prune + row filter): a one-shot
     # IN iterable consumed by the prune would leave the row filter empty
     preds = _normalize_preds(preds)
-    cols = list(col_kinds)
-    in_schema = df.select(*cols).schema
-    blocks = encode_df(
-        df, key_col, col_kinds, n_parts, partitioning="range"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _retain_filtered_blocks(blocks)
+    blocks, in_schema = _encode_persisted(df, key_col, col_kinds, n_parts)
     decoded = decode_fn(
         blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds),
         preds,
     )
-    out = decoded.filter(_pred_row_expr(preds, combine=combine))
-    return out.select(
-        *[
-            F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
-            for f in in_schema.fields
-        ]
-    )
+    return _finish_decoded(decoded, in_schema, preds, combine)
 
 
 def roundtrip_filtered_null(
@@ -1865,29 +1906,15 @@ def roundtrip_filtered_null_modes(
     with opposite null predicates (the pair a query like
     rt_documents_nulls consumes; two separate roundtrip_filtered_null
     calls would encode the input twice)."""
-    from pyspark import StorageLevel
-
-    cols = list(col_kinds)
-    in_schema = df.select(*cols).schema
-    blocks = encode_df(
-        df, key_col, col_kinds, n_parts, partitioning="range"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _retain_filtered_blocks(blocks)
+    blocks, in_schema = _encode_persisted(df, key_col, col_kinds, n_parts)
     out_schema = _arrow_safe_schema(in_schema, col_kinds)
 
     def one(want_null: bool) -> DataFrame:
         decoded = decode_df_pruned_null(
             blocks, key_col, col_kinds, out_schema, pred_col, want_null
         )
-        out = decoded.filter(
-            _pred_row_expr([("isnull" if want_null else "notnull", pred_col)])
-        )
-        return out.select(
-            *[
-                F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
-                for f in in_schema.fields
-            ]
-        )
+        preds = [("isnull" if want_null else "notnull", pred_col)]
+        return _finish_decoded(decoded, in_schema, preds, "and")
 
     return one(True), one(False)
 

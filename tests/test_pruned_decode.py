@@ -1555,3 +1555,32 @@ def test_topk_filtered_meta_exact_and_pruned(spark):
     with pytest.raises(ValueError, match="positive"):
         topk_filtered_meta(blocks, kinds, "k", 0)
     blocks.unpersist()
+
+
+def test_pruned_decode_rejects_unencoded_and_str_bounds_on_int(spark):
+    """The pruned decodes fail loudly on a predicate column with no chunk
+    rows (an AND would return a definitive-looking empty result; an OR
+    would silently drop that member's rows), and int columns reject
+    non-numeric bounds (a str bound casts to NULL against bigint stats
+    and would prune everything)."""
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df_pruned,
+        decode_df_pruned_any,
+        encode_df,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    kinds = {"k": "int"}
+    blocks = encode_df(df, "k", kinds, n_parts=2)
+    out_schema = _arrow_safe_schema(df.select("k").schema, kinds)
+    wide = {"k": "int", "zz": "int"}
+    with pytest.raises(ValueError, match="no chunks"):
+        decode_df_pruned(blocks, "k", wide, out_schema, "zz", 0, 10)
+    with pytest.raises(ValueError, match="no chunks"):
+        decode_df_pruned_any(
+            blocks, "k", wide, out_schema,
+            [("range", "zz", 0, 10), ("range", "k", 0, 10)],
+        )
+    with pytest.raises(ValueError, match="numeric bounds"):
+        decode_df_pruned(blocks, "k", kinds, out_schema, "k", "a", "z")
