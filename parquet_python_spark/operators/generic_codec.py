@@ -83,6 +83,10 @@ BLOCKS_SCHEMA = T.StructType(
         # Fixed 16-char cap keeps metadata rows small at any value width
         T.StructField("stat_min_str", T.StringType(), True),
         T.StructField("stat_max_str", T.StringType(), True),
+        # per-PAGE null counts ([4B u32 page_rows][u32 per page]) for
+        # null-bearing chunks: IS [NOT] NULL predicates skip pages with
+        # no nulls (resp. all-null pages) inside surviving chunks
+        T.StructField("page_nulls", T.BinaryType(), True),
         # per-chunk null count (Parquet Statistics.null_count analog —
         # parsed by the reference at parquet.thrift:198-206, never used):
         # drives IS NULL / IS NOT NULL chunk skipping in
@@ -108,6 +112,7 @@ _BLOCKS_ARROW = pa.schema(
         ("page_stats", pa.binary()),
         ("stat_min_str", pa.string()),
         ("stat_max_str", pa.string()),
+        ("page_nulls", pa.binary()),
         ("n_nulls", pa.int64()),
     ]
 )
@@ -215,6 +220,47 @@ def _page_stats_blob(
 # format (variable-width truncated bounds) apart from the fixed int64-pair
 # format — a kind-mismatched parse must fail loudly, not fabricate ranges
 _PAGE_STATS_STR_TAG = 0x8000_0000
+
+
+def _page_nulls_blob(valid: np.ndarray) -> bytes | None:
+    """Per-page null counts over the chunk's row-aligned validity mask
+    ([4B u32 page_rows][u32 per page]); None for single-page chunks."""
+    n = len(valid)
+    if n <= PAGE_ROWS:
+        return None
+    inv = (~valid).astype(np.uint32)
+    n_pages = -(-n // PAGE_ROWS)
+    counts = np.zeros(n_pages, dtype="<u4")
+    full = (n // PAGE_ROWS) * PAGE_ROWS
+    if full:
+        counts[: full // PAGE_ROWS] = inv[:full].reshape(-1, PAGE_ROWS).sum(axis=1)
+    if full < n:
+        counts[-1] = inv[full:].sum()
+    return int(PAGE_ROWS).to_bytes(4, "little") + counts.tobytes()
+
+
+def _page_keep_ranges_nulls(
+    blob: bytes, n_rows: int, want_null: bool
+) -> list[tuple[int, int]] | None:
+    """Row ranges whose pages MAY hold a matching row for IS NULL
+    (pages with any null) or IS NOT NULL (pages with any present value);
+    None = keep everything."""
+    page_rows = int.from_bytes(blob[:4], "little")
+    counts = np.frombuffer(blob, dtype="<u4", offset=4)
+    n_pages = len(counts)
+    sizes = np.full(n_pages, page_rows, dtype=np.int64)
+    sizes[-1] = n_rows - (n_pages - 1) * page_rows
+    keep = counts > 0 if want_null else counts < sizes
+    if keep.all():
+        return None
+    ranges: list[tuple[int, int]] = []
+    for p in np.flatnonzero(keep):
+        st, e = int(p) * page_rows, min(n_rows, (int(p) + 1) * page_rows)
+        if ranges and ranges[-1][1] == st:
+            ranges[-1] = (ranges[-1][0], e)
+        else:
+            ranges.append((st, e))
+    return ranges
 
 
 def _str_page_stats_blob(arr: pa.Array) -> bytes | None:
@@ -725,7 +771,7 @@ def encode_df(
 
         def add(column, codec, params, payload, n_values, stats=(None, None),
                 bloom=None, page_stats=None, str_stats=(None, None),
-                n_nulls=0):
+                n_nulls=0, page_nulls=None):
             rows.append(
                 {
                     "part_id": part_id,
@@ -744,6 +790,7 @@ def encode_df(
                     "stat_min_str": str_stats[0],
                     "stat_max_str": str_stats[1],
                     "n_nulls": n_nulls,
+                    "page_nulls": page_nulls,
                 }
             )
 
@@ -774,6 +821,13 @@ def encode_df(
                 sstats = (None, None)
                 bloom = None
                 pstats = None
+                pnulls = (
+                    _page_nulls_blob(
+                        pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                    )
+                    if arr.null_count
+                    else None
+                )
                 if kind in ("int", "int96_ts"):
                     stats = int_stats(arr)
                     if build_blooms:
@@ -847,7 +901,7 @@ def encode_df(
                             pstats = _page_stats_blob(ob, valid)
                 c, p, payload, nv = _encode_values(arr, kind, forced, page, outer)
                 add(col, c, p, payload, nv, stats, bloom, pstats, sstats,
-                    n_nulls=arr.null_count)
+                    n_nulls=arr.null_count, page_nulls=pnulls)
         return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
 
     return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
@@ -945,7 +999,16 @@ def decode_df(
 
         def one_range(pcol, lo, hi):
             prow = by_col.get(pcol)
-            pstats = prow.get("page_stats") if prow else None
+            if prow is None:
+                return None
+            if lo is None:
+                # null-predicate page prune: hi is want_null (see
+                # _pred_keep); consults the per-page null counts
+                pnb = prow.get("page_nulls")
+                if not pnb:
+                    return None
+                return _page_keep_ranges_nulls(bytes(pnb), n_rows, bool(hi))
+            pstats = prow.get("page_stats")
             if not pstats:
                 return None  # no page info: keep everything
             keep_fn = (
@@ -1179,7 +1242,8 @@ def decode_df_pruned_multi(
     a broadcast left-semi join — chained joins intersect the sets without
     moving payloads.  Page level: int/str equality rides the zone maps as
     the degenerate range [v, v], IN-lists as the UNION of their values'
-    ranges; null predicates prune chunks only (no per-page null counts).
+    ranges, and null predicates skip pages through the per-page null
+    counts (null-free pages for IS NULL, all-null pages for IS NOT NULL).
     Output is a SUPERSET of matching rows — callers re-apply the exact
     row predicate, same contract as every other pruned decode."""
     preds = _normalize_preds(preds)
@@ -1303,7 +1367,12 @@ def _pred_keep(blocks: DataFrame, col_kinds: dict[str, str], pred: tuple):
             if op == "isnull"
             else F.col("n_nulls") < F.col("n_rows")
         )
-        return blocks.filter(keep_pred).select("part_id").distinct(), None
+        # page bound: the sentinel (col, None, want_null) routes to the
+        # per-page null counts inside decode_df
+        return (
+            blocks.filter(keep_pred).select("part_id").distinct(),
+            [(pred_col, None, op == "isnull")],
+        )
     raise ValueError(f"unknown predicate op {op!r}")
 
 
@@ -1318,9 +1387,9 @@ def decode_df_pruned_any(
     predicate admits it (union of the per-predicate keep sets — one
     unionAll + distinct, still metadata-only, one broadcast semi join),
     and surviving chunks decode the UNION of every predicate's page row
-    ranges (one union group).  If any member predicate has no page-level
-    bound (isnull/notnull), page pruning is skipped entirely — a chunk
-    admitted only by that member must surface all its rows.  Same pred
+    ranges (one union group); null members contribute their per-page
+    null-count bounds to the same union, so a chunk admitted only by an
+    IS NULL member still page-skips its null-free pages.  Same pred
     grammar as decode_df_pruned_multi; same superset-then-re-filter
     contract.  With decode_df_pruned_multi this completes the predicate
     algebra: arbitrary AND-of-atoms and OR-of-atoms prunes (compose

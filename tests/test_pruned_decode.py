@@ -1584,3 +1584,60 @@ def test_pruned_decode_rejects_unencoded_and_str_bounds_on_int(spark):
         )
     with pytest.raises(ValueError, match="numeric bounds"):
         decode_df_pruned(blocks, "k", kinds, out_schema, "k", "a", "z")
+
+
+def test_page_null_counts_prune_and_exact(spark):
+    """Per-page null counts: IS NULL skips null-free pages of surviving
+    chunks and IS NOT NULL skips all-null pages; results stay exact; the
+    kernel classifies pages correctly including the partial last page."""
+    import numpy as np
+
+    from parquet_python_spark.operators.generic_codec import (
+        PAGE_ROWS,
+        _arrow_safe_schema,
+        _page_keep_ranges_nulls,
+        _page_nulls_blob,
+        decode_df_pruned_null,
+        encode_df,
+    )
+
+    # kernel: nulls only inside page 1; partial all-null last page
+    n = 3 * PAGE_ROWS + 100
+    valid = np.ones(n, dtype=bool)
+    valid[PAGE_ROWS + 10 : PAGE_ROWS + 50] = False  # some nulls in page 1
+    valid[3 * PAGE_ROWS :] = False                  # last page all-null
+    blob = _page_nulls_blob(valid)
+    assert _page_keep_ranges_nulls(blob, n, True) == [
+        (PAGE_ROWS, 2 * PAGE_ROWS),
+        (3 * PAGE_ROWS, n),
+    ]
+    assert _page_keep_ranges_nulls(blob, n, False) == [(0, 3 * PAGE_ROWS)]
+    assert _page_nulls_blob(valid[:100]) is None  # single page: no blob
+
+    # Spark e2e: one 20k-row chunk whose nulls live in a single page
+    n2 = 20_000
+    df = spark.range(n2).select(
+        F.col("id").alias("k"),
+        F.when(
+            (F.col("id") >= PAGE_ROWS) & (F.col("id") < PAGE_ROWS + 200), None
+        )
+        .otherwise(F.col("id"))
+        .alias("w"),
+    )
+    kinds = {"k": "int", "w": "int"}
+    blocks = encode_df(df, "k", kinds, n_parts=1, partitioning="range").cache()
+    out_schema = _arrow_safe_schema(df.select(*kinds).schema, kinds)
+    dec = decode_df_pruned_null(
+        blocks, "k", kinds, out_schema, "w", want_null=True
+    ).cache()
+    # only the null-bearing page survives, not the whole 20k chunk
+    assert dec.count() <= PAGE_ROWS
+    got = sorted(r["k"] for r in dec.filter(F.col("w").isNull()).collect())
+    assert got == list(range(PAGE_ROWS, PAGE_ROWS + 200))
+    dec.unpersist()
+    # IS NOT NULL on the same chunk keeps everything (no all-null page)
+    nn = decode_df_pruned_null(
+        blocks, "k", kinds, out_schema, "w", want_null=False
+    )
+    assert nn.filter(F.col("w").isNotNull()).count() == n2 - 200
+    blocks.unpersist()
