@@ -674,14 +674,98 @@ def _decode_part_table(tbl) -> "pa.Table":
     )
 
 
+def _engine_block_files_of_scan(blocks: DataFrame) -> list[str] | None:
+    """Local file list when ``blocks`` is a bare, unfiltered scan of
+    engine-written block files — else None.
+
+    The zero-shuffle decode below is only sound when every partition's
+    rows are contiguous within one file, which THIS engine guarantees for
+    the files it writes (blk-*: one encode task's output, parts emitted
+    contiguously; cmp-*: whole blk files concatenated in order by
+    compact_blocks).  Anything else — a filtered/joined/cached blocks
+    DataFrame, JVM-written part-* files, non-local storage, or a directory
+    mid-compaction (sidecar/tmp present) — falls back to the general
+    shuffle path, which assumes nothing about layout."""
+    try:
+        plan = blocks._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        files = list(blocks.inputFiles())
+    except Exception:  # noqa: BLE001 - internal API drift: use the safe path
+        return None
+    if not files:
+        return None
+    if set(blocks.columns) != {f.name for f in BLOCKS_SCHEMA.fields}:
+        return None
+    out: list[str] = []
+    dirs: set[str] = set()
+    for f in files:
+        if f.startswith("file:"):
+            f = "/" + f.split(":", 1)[1].lstrip("/")
+        elif "://" in f:
+            return None  # non-local filesystem: keep the generic path
+        name = os.path.basename(f)
+        if not (
+            name.endswith(".parquet")
+            and (name.startswith("blk-") or name.startswith("cmp-"))
+        ):
+            return None
+        out.append(f)
+        dirs.add(os.path.dirname(f))
+    for d in dirs:
+        try:
+            names = os.listdir(d)
+        except OSError:
+            return None
+        if any(
+            n.endswith(".srcs.json") or n.endswith(".inprogress") for n in names
+        ):
+            return None  # interrupted compaction: the generic path is safe
+    return sorted(out)
+
+
+def _decode_files_df(spark: SparkSession, files: list[str]) -> DataFrame:
+    """mapInArrow decode over an explicit block-file list (one task per
+    file; a part never spans files) — the shared body of
+    decode_blocks_files and decode_blocks' fast path."""
+    paths_df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)], "file_idx int, path string"
+    ).repartition(max(len(files), 1), "file_idx")
+
+    def dec(batches):
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for path in batch.column("path").to_pylist():
+                tbl = pq.read_table(path, use_threads=False)
+                if tbl.num_rows == 0:
+                    continue
+                pids = tbl.column("part_id").to_pylist()
+                start = 0
+                for i in range(1, len(pids) + 1):
+                    if i == len(pids) or pids[i] != pids[start]:
+                        yield from _decode_part_table(
+                            tbl.slice(start, i - start)
+                        ).to_batches()
+                        start = i
+
+    return paths_df.mapInArrow(dec, schema=DECODED_SCHEMA)
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """blocks DataFrame -> original tokens DataFrame (bit-identical rows).
 
-    Groups by part_id (the blocks of one partition reunite) and decodes via
-    _decode_part_table.  General path: works on any blocks DataFrame at the
-    cost of shuffling payloads; decode_blocks_files below is the shuffle-free
-    path for blocks directories written by this engine.
+    Fast path (round 6): when ``blocks`` is a bare scan of engine-written
+    block files (see _engine_block_files_of_scan), decode runs shuffle-free
+    with one task per file — the encoded payloads never cross an exchange
+    (measured ~2x at the 10x bench scale; at 100 TB the saved payload
+    shuffle is the job).  General path: groups by part_id (the blocks of
+    one partition reunite) and decodes via _decode_part_table — works on
+    any blocks DataFrame at the cost of shuffling payloads.
     """
+    fast_files = _engine_block_files_of_scan(blocks)
+    if fast_files is not None:
+        return _decode_files_df(blocks.sparkSession, fast_files)
 
     def dec(tbl):
         # (wrapper without annotations: applyInArrow's eval-type inference
@@ -837,29 +921,7 @@ def decode_blocks_files(spark: SparkSession, blocks_path: str) -> DataFrame:
     _repair_compaction).
     """
     _repair_compaction(blocks_path, conservative=True)
-    files = list_input_files(blocks_path)
-    paths_df = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(files)], "file_idx int, path string"
-    ).repartition(max(len(files), 1), "file_idx")
-
-    def dec(batches):
-        import pyarrow.parquet as pq
-
-        for batch in batches:
-            for path in batch.column("path").to_pylist():
-                tbl = pq.read_table(path, use_threads=False)
-                if tbl.num_rows == 0:
-                    continue
-                pids = tbl.column("part_id").to_pylist()
-                start = 0
-                for i in range(1, len(pids) + 1):
-                    if i == len(pids) or pids[i] != pids[start]:
-                        yield from _decode_part_table(
-                            tbl.slice(start, i - start)
-                        ).to_batches()
-                        start = i
-
-    return paths_df.mapInArrow(dec, schema=DECODED_SCHEMA)
+    return _decode_files_df(spark, list_input_files(blocks_path))
 
 
 def compact_blocks(

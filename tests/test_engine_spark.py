@@ -295,3 +295,27 @@ def test_decode_pruned_empty_range(spark, clustered_blocks):
         decode_blocks_files_pruned(spark, blocks_dir, "n_tok", -10, -5).count()
         == 0
     )
+
+
+def test_decode_blocks_fast_path_zero_payload_shuffle(spark, tokens_df, tmp_path):
+    """Round-6 optimization: decode_blocks over a bare scan of engine-written
+    blk files must take the shuffle-free per-file path (no
+    FlatMapGroupsInArrow / no payload exchange), produce rows identical to
+    the generic grouped path, and fall back to the grouped path for any
+    non-bare-scan input."""
+    inp = str(tmp_path / "tok")
+    out = str(tmp_path / "enc")
+    tokens_df.write.parquet(inp)
+    encode_job(spark, inp, out)
+    blocks = spark.read.parquet(os.path.join(out, "blocks"))
+
+    fast = decode_blocks(blocks)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInArrow" not in fast_plan  # shuffle-free path taken
+    assert "MapInArrow" in fast_plan
+
+    generic = decode_blocks(blocks.filter(F.col("n_rows") >= 0))  # not bare
+    generic_plan = generic._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInArrow" in generic_plan  # fallback engaged
+
+    assert _as_sorted_rows(fast) == _as_sorted_rows(generic)
