@@ -702,6 +702,31 @@ def encode_df(
     np.unique at encode time) for workloads that will never point-prune;
     min/max stats are always built (near-free off Arrow min_max).
     """
+    work, enc = _encode_plan(
+        df, key_col, col_kinds, n_parts, forced_codecs, partitioning,
+        build_blooms, page, outer,
+    )
+    return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
+
+
+def _encode_plan(
+    df: DataFrame,
+    key_col: str,
+    col_kinds: dict[str, str],
+    n_parts: int | None = None,
+    forced_codecs: dict[str, str] | None = None,
+    partitioning: str = "hash",
+    build_blooms: bool = True,
+    page: str = "v1",
+    outer: str | None = None,
+    build_stats: bool = True,
+) -> tuple:
+    """(work DataFrame with part_id, per-group encode function) — the body
+    of encode_df, exposed so the fused round-trip can run encode+decode in
+    ONE applyInArrow pass (no blocks exchange).  ``build_stats=False``
+    additionally skips every pruning artifact (chunk min/max, blooms,
+    page zone maps, null blobs): a fused round-trip discards the blocks
+    table immediately, so those bytes could never be consumed."""
     forced_codecs = forced_codecs or {}
     cols = [key_col] + [c for c in col_kinds if c != key_col]
     if partitioning == "range":
@@ -758,7 +783,9 @@ def encode_df(
     # encode UDF never runs per-row Python over string bytes; the hidden
     # column rides next to its string column and is dropped from the blocks
     str_bloom_cols = (
-        [c for c, k in col_kinds.items() if k == "str"] if build_blooms else []
+        [c for c, k in col_kinds.items() if k == "str"]
+        if (build_blooms and build_stats)
+        else []
     )
     for c in str_bloom_cols:
         work = work.withColumn(f"__bh_{c}", F.xxhash64(F.col(c)))
@@ -825,10 +852,12 @@ def encode_df(
                     _page_nulls_blob(
                         pc.is_valid(arr).to_numpy(zero_copy_only=False)
                     )
-                    if arr.null_count
+                    if (arr.null_count and build_stats)
                     else None
                 )
-                if kind in ("int", "int96_ts"):
+                if not build_stats:
+                    pass  # fused round-trip: no pruning artifact is reachable
+                elif kind in ("int", "int96_ts"):
                     stats = int_stats(arr)
                     if build_blooms:
                         present = pc.drop_null(arr) if arr.null_count else arr
@@ -904,7 +933,7 @@ def encode_df(
                     n_nulls=arr.null_count, page_nulls=pnulls)
         return pa.Table.from_pylist(rows, schema=_BLOCKS_ARROW)
 
-    return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
+    return work, enc
 
 
 _FIXED_STRIDE_BYTES = {"plain32": 4, "plain64": 8, "plain_f32": 4, "plain_f64": 8}
@@ -981,6 +1010,18 @@ def decode_df(
     with scale.  Output is a SUPERSET of the matching rows (callers
     re-apply the exact predicate); columns stay row-aligned because
     every column slices to the same ranges."""
+    dec = _decode_fn(col_kinds, out_schema, prune)
+    return blocks.groupBy("part_id").applyInArrow(dec, schema=out_schema)
+
+
+def _decode_fn(
+    col_kinds: dict[str, str],
+    out_schema: T.StructType,
+    prune: tuple | list[tuple] | None = None,
+):
+    """Per-group block-rows -> decoded-rows function (the body of
+    decode_df, exposed so the fused round-trip can chain it directly onto
+    the encode function inside one applyInArrow pass)."""
 
     # arrow image of the output schema, for the all-pages-pruned early exit
     # (a zero-row table without touching any payload)
@@ -1085,7 +1126,7 @@ def decode_df(
             names.append(col)
         return pa.Table.from_arrays(out_arrays, names=names)
 
-    return blocks.groupBy("part_id").applyInArrow(dec, schema=out_schema)
+    return dec
 
 
 def decode_df_pruned(
@@ -1999,15 +2040,32 @@ def roundtrip(
 ) -> DataFrame:
     """encode -> blocks -> decode; output schema mirrors the selected input
     columns (Spark types preserved via cast at the end).  ``page``/``outer``
-    select the data-page framing and page compression (see encode_df)."""
+    select the data-page framing and page compression (see encode_df).
+
+    FUSED execution (round 6): encode and decode of one partition run in a
+    single applyInArrow call, so the blocks table never exists outside the
+    python worker — the encoded payloads are not serialized to the JVM,
+    not shuffled through a second exchange, and not deserialized back
+    (guide §2.4: two operations keyed the same way share one exchange; the
+    unfused plan had two).  The encode/decode kernels themselves are the
+    unchanged encode_df/decode_df bodies, so output rows are identical;
+    pruning artifacts (stats/blooms/page maps) are skipped because the
+    in-worker blocks are discarded immediately — nothing could ever read
+    them (the persisted-blocks paths, encode_df proper and every
+    roundtrip_filtered* wrapper, still build them all)."""
     cols = list(col_kinds)
     in_schema = df.select(*cols).schema
-    blocks = encode_df(
-        df, key_col, col_kinds, n_parts, forced_codecs, page=page, outer=outer
+    out_schema = _arrow_safe_schema(in_schema, col_kinds)
+    work, enc = _encode_plan(
+        df, key_col, col_kinds, n_parts, forced_codecs, page=page,
+        outer=outer, build_stats=False,
     )
-    decoded = decode_df(
-        blocks, key_col, col_kinds, _arrow_safe_schema(in_schema, col_kinds)
-    )
+    dec = _decode_fn(col_kinds, out_schema)
+
+    def enc_dec(tbl: pa.Table) -> pa.Table:
+        return dec(enc(tbl))
+
+    decoded = work.groupBy("part_id").applyInArrow(enc_dec, schema=out_schema)
     # cast back to the exact input Spark types (e.g. int32 vs int64)
     return decoded.select(
         *[

@@ -132,3 +132,34 @@ def test_range_partitioning_wide_key_span(spark):
     got = sorted((r["k"], r["v"]) for r in rt.collect())
     exp = sorted((r["k"], r["v"]) for r in df.collect())
     assert got == exp
+
+
+def test_roundtrip_fused_single_exchange(spark):
+    """Round-6 optimization: roundtrip runs encode+decode in ONE
+    applyInArrow pass — the plan must carry exactly one group-map node and
+    one exchange (the unfused plan had two of each, shuffling every
+    encoded payload), and rows must equal the unfused encode_df->decode_df
+    composition bit-for-bit."""
+    from parquet_python_spark.operators.generic_codec import (
+        _arrow_safe_schema,
+        decode_df,
+        encode_df,
+    )
+
+    li = _t(spark, "lineitem")
+    kinds = {"l_orderkey": "int", "l_partkey": "int", "l_quantity": "float64"}
+    fused = roundtrip(li, "l_orderkey", kinds)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInArrow") == 1
+    assert plan.count("Exchange") == 1
+
+    in_schema = li.select(*list(kinds)).schema
+    unfused = decode_df(
+        encode_df(li, "l_orderkey", kinds),
+        "l_orderkey",
+        kinds,
+        _arrow_safe_schema(in_schema, kinds),
+    ).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in in_schema.fields]
+    )
+    assert _sorted(fused) == _sorted(unfused)
