@@ -16,6 +16,20 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+def _with_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism when
+    the input yields fewer splits (guide §2.5 input skew: one small or
+    unsplittable file serializes CPU-heavy per-row work on a handful of
+    tasks — measured 1.7-2x on the single-file bench tables).  Scale-safe
+    by construction: at real data sizes splits >> cores and this is a
+    no-op; the condition, not a constant, decides."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------ exact dedup
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -63,10 +77,15 @@ def dedup_components(
     per band-bucket), never all-pairs; each round's state is one
     (node, comp) row per distinct node.  Returns (doc_id, component_id).
     """
+    # edges materialize ONCE: every round joins against them, and without
+    # the checkpoint each round re-executes the whole pair-generation
+    # subtree (MinHash UDF over the corpus included) — measured as the
+    # dominant cost of the end-to-end dedup pipeline (round 6)
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("u").alias("node"))
@@ -74,6 +93,14 @@ def dedup_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
+    # Convergence via the label-sum invariant: comp values only ever
+    # DECREASE (both steps take minima over sets containing the old
+    # value) and the node set is fixed, so sum(comp) strictly decreases
+    # iff any label changed — one aggregate over the freshly checkpointed
+    # state instead of the old full equi-join + count per round.
+    # decimal(38,0) keeps the sum exact at any id magnitude / node count.
+    comp_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(comp_sum).collect()[0][0]
     changed = None  # None = the loop never ran (max_iters <= 0)
     for _ in range(max_iters):
         # neighbor relax: comp(u) <- min(comp(u), min over comp(v), v~u)
@@ -100,11 +127,9 @@ def dedup_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
+        new_sum = jumped.agg(comp_sum).collect()[0][0]
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         labels = jumped
         if changed == 0:
             break
@@ -120,7 +145,7 @@ def dedup_components(
         detail = (
             "the loop never ran (max_iters <= 0)"
             if changed is None
-            else f"last round still changed {changed} labels"
+            else "last round still lowered the label sum"
         )
         raise RuntimeError(
             f"dedup_components: cannot certify convergence after "
@@ -244,6 +269,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 9) -> DataF
         m = _minhash_sig_matrix(text.tolist(), A, B, k)
         return pd.Series(list(m))
 
+    # project to the two needed columns BEFORE the parallelism bump so the
+    # repartition (when it fires at all) moves only (doc_id, text)
+    docs = _with_min_parallelism(docs.select("doc_id", "text"))
     return docs.select("doc_id", sig(F.col("text")).alias("minhash"))
 
 
@@ -619,6 +647,7 @@ def text_metrics(docs: DataFrame) -> DataFrame:
     one pass over the scan computes all signals (five separate queries
     would scan the corpus five times); the individual operators above stay
     as the composable single-signal views of the same column builders."""
+    docs = _with_min_parallelism(docs)
     return docs.select(
         "doc_id",
         *_text_stats_cols(),
@@ -664,6 +693,7 @@ def gopher_quality(
     one scan, same as text_metrics.
     """
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    docs = _with_min_parallelism(docs)
     base = docs.select("doc_id", "text", words.alias("w")).select(
         "doc_id",
         "text",
