@@ -248,6 +248,10 @@ def _page_keep_ranges_nulls(
     page_rows = int.from_bytes(blob[:4], "little")
     counts = np.frombuffer(blob, dtype="<u4", offset=4)
     n_pages = len(counts)
+    if page_rows <= 0 or -(-n_rows // page_rows) != n_pages:
+        # page_nulls blobs are outside the payload CRC; a truncated blob
+        # must fail loudly, not silently treat missing pages as skippable
+        raise ValueError("page-nulls blob page count mismatch")
     sizes = np.full(n_pages, page_rows, dtype=np.int64)
     sizes[-1] = n_rows - (n_pages - 1) * page_rows
     keep = counts > 0 if want_null else counts < sizes
@@ -387,6 +391,10 @@ def _page_keep_ranges(
     if page_rows & _PAGE_STATS_STR_TAG:
         raise ValueError("str page-stats blob passed to the int parser")
     stats = np.frombuffer(blob, dtype="<i8", offset=4).reshape(-1, 2)
+    if page_rows <= 0 or -(-n_rows // page_rows) != len(stats):
+        # page_stats blobs are outside the payload CRC; a truncated blob
+        # must fail loudly, not silently treat missing pages as skippable
+        raise ValueError("page-stats blob page count mismatch")
     keep = (stats[:, 1] >= lo) & (stats[:, 0] <= hi)
     if keep.all():
         return None
@@ -1372,10 +1380,15 @@ def _pred_keep(blocks: DataFrame, col_kinds: dict[str, str], pred: tuple):
                 # Bloom UDF (SQL `IN (..., NULL)` is a common source)
                 raise ValueError("int pred_col needs int values")
             probes = tuple(values)
-            # a NULL stat (all-null chunk) keeps the row
+            # a NULL stat keeps the row (legacy chunks encoded without
+            # stats), EXCEPT when the chunk is all-null: NULL never equals
+            # a probe value, so those chunks can never match (ADVICE r5)
             per_val = [
-                F.col("stat_min").isNull()
-                | ((F.col("stat_min") <= v) & (F.col("stat_max") >= v))
+                (
+                    F.col("stat_min").isNull()
+                    | ((F.col("stat_min") <= v) & (F.col("stat_max") >= v))
+                )
+                & (F.col("n_nulls") < F.col("n_rows"))
                 for v in values
             ]
         else:
@@ -1842,6 +1855,16 @@ def topk_filtered_meta(
     _require_encoded_column(blocks, meta0, col)
     # all-null chunks (NULL stats) hold no present values: not candidates
     meta = meta0.filter(F.col("stat_min").isNotNull())
+    # The bound B and the keep set are derived from a checkpointed NARROW
+    # stats projection (no payload column): with an unpersisted blocks
+    # DataFrame the window action would otherwise re-execute the entire
+    # encode lineage once for B and again for the keep semi-join (ADVICE
+    # r5).  The decode itself still executes the lineage once when the
+    # result is consumed — callers that reuse blocks should persist them,
+    # as the round-trip helpers do.
+    stats_meta = meta.select(
+        "part_id", "stat_min", "stat_max", "n_rows", "n_nulls"
+    ).localCheckpoint(eager=False)
     edge, cmp_col = (
         ("stat_max", "stat_min") if ascending else ("stat_min", "stat_max")
     )
@@ -1849,7 +1872,7 @@ def topk_filtered_meta(
     w = Window.orderBy(order, F.col("part_id")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    acc = meta.withColumn(
+    acc = stats_meta.withColumn(
         "cum", F.sum(F.col("n_rows") - F.col("n_nulls")).over(w)
     )
     # materialize B ONCE (metadata-sized job — the encoded-column guard
@@ -1864,11 +1887,11 @@ def topk_filtered_meta(
     )
     b_val = None if b_row["b"] is None else int(b_row["b"])
     if b_val is None:
-        keep = meta.select("part_id").distinct()
+        keep = stats_meta.select("part_id").distinct()
         prune = None
     else:
         keep = (
-            meta.filter(
+            stats_meta.filter(
                 (F.col(cmp_col) <= b_val)
                 if ascending
                 else (F.col(cmp_col) >= b_val)

@@ -18,14 +18,18 @@ from pyspark.sql.functions import pandas_udf
 
 def _with_min_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the cluster's default parallelism when
-    the input yields fewer splits (guide §2.5 input skew: one small or
+    the input yields FAR fewer splits (guide §2.5 input skew: one small or
     unsplittable file serializes CPU-heavy per-row work on a handful of
-    tasks — measured 1.7-2x on the single-file bench tables).  Scale-safe
-    by construction: at real data sizes splits >> cores and this is a
-    no-op; the condition, not a constant, decides."""
+    tasks — measured ~2x on the single-file bench tables).  The threshold
+    is a quarter of the core count, not "any shortfall": the repartition
+    ships the full row payload, and the A/B measurement shows that cost
+    already exceeds the extra-parallelism gain once the scan supplies a
+    third of the cores (10-split input on 32 cores: +12% with the bump).
+    Scale-safe by construction: at real data sizes splits >> cores and
+    this is a no-op; the condition, not a constant, decides."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if df.rdd.getNumPartitions() * 4 <= target:
         return df.repartition(target)
     return df
 
