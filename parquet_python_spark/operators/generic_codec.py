@@ -714,7 +714,13 @@ def encode_df(
         df, key_col, col_kinds, n_parts, forced_codecs, partitioning,
         build_blooms, page, outer,
     )
-    return work.groupBy("part_id").applyInArrow(enc, schema=BLOCKS_SCHEMA)
+
+    def enc_group(tbl: pa.Table) -> pa.Table:
+        # single-arg wrapper: applyInArrow treats a two-arg function as
+        # (key, table), but enc's second arg is the fused-path part_id
+        return enc(tbl)
+
+    return work.groupBy("part_id").applyInArrow(enc_group, schema=BLOCKS_SCHEMA)
 
 
 def _encode_plan(
@@ -784,9 +790,15 @@ def _encode_plan(
             F.crc32(F.coalesce(F.col(key_col).cast("string"), F.lit(""))),
             F.lit(n_parts),
         ).cast("int")
+    elif partitioning == "none":
+        # zero-shuffle mode (fused roundtrip): the caller supplies part ids
+        # to enc() directly, no part assignment column, no row-count job
+        part_expr = None
     else:
         raise ValueError(f"unknown partitioning {partitioning!r}")
-    work = df.select(*cols).withColumn("part_id", part_expr)
+    work = df.select(*cols)
+    if part_expr is not None:
+        work = work.withColumn("part_id", part_expr)
     # string blooms: hash JVM-side (xxhash64, vectorized in codegen) so the
     # encode UDF never runs per-row Python over string bytes; the hidden
     # column rides next to its string column and is dropped from the blocks
@@ -798,9 +810,10 @@ def _encode_plan(
     for c in str_bloom_cols:
         work = work.withColumn(f"__bh_{c}", F.xxhash64(F.col(c)))
 
-    def enc(tbl: pa.Table) -> pa.Table:
+    def enc(tbl: pa.Table, part_id: int | None = None) -> pa.Table:
         tbl = tbl.sort_by(key_col)
-        part_id = tbl.column("part_id")[0].as_py()
+        if part_id is None:
+            part_id = tbl.column("part_id")[0].as_py()
         n_rows = tbl.num_rows
         rows = []
 
@@ -2065,25 +2078,75 @@ def roundtrip(
     columns (Spark types preserved via cast at the end).  ``page``/``outer``
     select the data-page framing and page compression (see encode_df).
 
-    FUSED execution (round 6): encode and decode of one partition run in a
-    single applyInArrow call, so the blocks table never exists outside the
+    FUSED execution (round 6): encode and decode of one chunk run in a
+    single python call, so the blocks table never exists outside the
     python worker — the encoded payloads are not serialized to the JVM,
-    not shuffled through a second exchange, and not deserialized back
-    (guide §2.4: two operations keyed the same way share one exchange; the
-    unfused plan had two).  The encode/decode kernels themselves are the
-    unchanged encode_df/decode_df bodies, so output rows are identical;
-    pruning artifacts (stats/blooms/page maps) are skipped because the
-    in-worker blocks are discarded immediately — nothing could ever read
-    them (the persisted-blocks paths, encode_df proper and every
-    roundtrip_filtered* wrapper, still build them all)."""
+    not shuffled, and not deserialized back.  The encode/decode kernels
+    themselves are the unchanged encode_df/decode_df bodies, so output
+    rows are identical; pruning artifacts (stats/blooms/page maps) are
+    skipped because the in-worker blocks are discarded immediately —
+    nothing could ever read them (the persisted-blocks paths, encode_df
+    proper and every roundtrip_filtered* wrapper, still build them all).
+
+    ZERO-shuffle execution (round 6, default): chunk assignment is
+    unobservable in a round-trip's output, so co-locating rows by
+    content hash (a full shuffle of the input) buys nothing — the same
+    argument as the engine's files mode.  mapInArrow over the scan
+    encodes+decodes one ~TARGET_ROWS_PER_PART chunk at a time per split.
+    A caller-pinned n_parts keeps the content-addressed groupBy path
+    (chunk layout was requested explicitly)."""
     cols = list(col_kinds)
     in_schema = df.select(*cols).schema
     out_schema = _arrow_safe_schema(in_schema, col_kinds)
+    dec = _decode_fn(col_kinds, out_schema)
+    if n_parts is None:
+        _, enc = _encode_plan(
+            df, key_col, col_kinds, None, forced_codecs,
+            partitioning="none", page=page, outer=outer, build_stats=False,
+        )
+        # few-split scans would serialize the whole encode on a handful of
+        # tasks; round-robin up to the core count when the scan supplies
+        # under a quarter of it (same measured threshold as pipeline_ops.
+        # _with_min_parallelism — a no-op at real data sizes)
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism)
+
+        def enc_dec_stream(batches):
+            buf: list = []
+            nbuf = 0
+
+            def flush():
+                nonlocal buf, nbuf
+                if not buf:
+                    return ()
+                tbl = pa.Table.from_batches(buf)
+                buf, nbuf = [], 0
+                # part_id is unobservable here: dec treats each chunk's
+                # block rows as one partition and never keys on the id
+                out = dec(enc(tbl, part_id=0))
+                return out.to_batches()
+
+            for b in batches:
+                buf.append(b)
+                nbuf += b.num_rows
+                if nbuf >= TARGET_ROWS_PER_PART:
+                    yield from flush()
+            yield from flush()
+
+        decoded = df.select(*cols).mapInArrow(
+            enc_dec_stream, schema=out_schema
+        )
+        return decoded.select(
+            *[
+                F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
+                for f in in_schema.fields
+            ]
+        )
     work, enc = _encode_plan(
         df, key_col, col_kinds, n_parts, forced_codecs, page=page,
         outer=outer, build_stats=False,
     )
-    dec = _decode_fn(col_kinds, out_schema)
 
     def enc_dec(tbl: pa.Table) -> pa.Table:
         return dec(enc(tbl))

@@ -135,11 +135,13 @@ def test_range_partitioning_wide_key_span(spark):
 
 
 def test_roundtrip_fused_single_exchange(spark):
-    """Round-6 optimization: roundtrip runs encode+decode in ONE
-    applyInArrow pass — the plan must carry exactly one group-map node and
-    one exchange (the unfused plan had two of each, shuffling every
-    encoded payload), and rows must equal the unfused encode_df->decode_df
-    composition bit-for-bit."""
+    """Round-6 optimization: roundtrip runs encode+decode in ONE fused
+    python pass (MapInArrow) with no content-hash grouping — the unfused
+    plan had two group-map nodes and two exchanges, shuffling every input
+    row AND every encoded payload.  Rows must equal the unfused
+    encode_df->decode_df composition bit-for-bit.  (The only exchange the
+    fused plan may carry is the conditional round-robin parallelism bump
+    for few-split scans — never a hash partitioning.)"""
     from parquet_python_spark.operators.generic_codec import (
         _arrow_safe_schema,
         decode_df,
@@ -150,8 +152,16 @@ def test_roundtrip_fused_single_exchange(spark):
     kinds = {"l_orderkey": "int", "l_partkey": "int", "l_quantity": "float64"}
     fused = roundtrip(li, "l_orderkey", kinds)
     plan = fused._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FlatMapGroupsInArrow") == 1
-    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInArrow" not in plan
+    assert "MapInArrow" in plan
+    assert "hashpartitioning" not in plan
+
+    pinned = roundtrip(li, "l_orderkey", kinds, n_parts=4)
+    pinned_plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInArrow" in pinned_plan  # pinned layout keeps groupBy
+    assert _sorted(fused.select("l_orderkey", "l_partkey")) == _sorted(
+        pinned.select("l_orderkey", "l_partkey")
+    )
 
     in_schema = li.select(*list(kinds)).schema
     unfused = decode_df(
