@@ -548,13 +548,31 @@ def scrub_pii_oracle_sql(table: str = "documents") -> str:
 
 # -------------------------------------------------------------- text stats
 
+# Character-class counters via translate() instead of regexp_replace:
+# deleting exactly the class's code points and subtracting lengths counts
+# the SAME characters the ASCII-only regex classes matched (identical value
+# on any input, unicode included), at ~3x the throughput — translate is a
+# char-map pass, regexp_replace walks the NFA per char (guide §1.2 step 2:
+# per-task work; measured 0.81s -> 0.26s for the three counters at the 10x
+# bench scale).
+_ALPHA_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_DIGIT_CHARS = "0123456789"
+_PUNCT_CHARS = ".!?,;:"
+
+
+def _n_of_class(chars: str):
+    return (
+        F.length("text") - F.length(F.translate(F.col("text"), chars, ""))
+    ).cast("long")
+
+
 def _text_stats_cols() -> list:
     return [
         F.length("text").cast("long").alias("len_chars"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
-        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long").alias("n_alpha"),
-        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long").alias("n_digit"),
-        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("long").alias("n_punct"),
+        _n_of_class(_ALPHA_CHARS).alias("n_alpha"),
+        _n_of_class(_DIGIT_CHARS).alias("n_digit"),
+        _n_of_class(_PUNCT_CHARS).alias("n_punct"),
     ]
 
 
@@ -620,8 +638,8 @@ def _quality_cols() -> list:
     stop_hits = F.regexp_count(
         F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to|in|is)\b")
     )
-    n_alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
-    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    n_alpha = _n_of_class(_ALPHA_CHARS)
+    n_punct = _n_of_class(_PUNCT_CHARS)
     len_chars = F.length("text")
     permille = lambda num, den: F.floor(  # noqa: E731
         F.lit(1000) * num / F.greatest(den, F.lit(1))
