@@ -71,28 +71,53 @@ def encode_delta_bp(values) -> tuple[bytes, dict]:
     deltas = np.diff(vals)
     vpm = DELTA_BP_BLOCK // DELTA_BP_MINIS
     nd = len(deltas)
-    for pos in range(0, nd, DELTA_BP_BLOCK):
-        blk = deltas[pos : pos + DELTA_BP_BLOCK]
-        md = int(blk.min())
-        parts.append(encode_varint(_zigzag64(md)))
-        norm = (blk - md).astype(np.uint64)
-        widths = bytearray(DELTA_BP_MINIS)
-        packed = []
+    if nd == 0:
+        return b"".join(parts), {}
+    # Vectorized across the whole chunk (round 6): the old per-miniblock
+    # loop paid ~1k tiny pack_bits_lsb calls per 256k-value chunk — pure
+    # python/numpy call overhead (~0.25s/chunk, >90% of the encode).  The
+    # wire bytes are IDENTICAL: miniblocks are a multiple of 64 values, so
+    # packing the concatenation of same-width miniblocks equals the
+    # concatenation of their individual packs.
+    nblocks = -(-nd // DELTA_BP_BLOCK)
+    pad = nblocks * DELTA_BP_BLOCK - nd
+    if pad:
+        # pad with int64 max so block minima see only real values
+        dpad = np.concatenate(
+            [deltas, np.full(pad, np.iinfo(np.int64).max, dtype=np.int64)]
+        )
+    else:
+        dpad = deltas
+    D = dpad.reshape(nblocks, DELTA_BP_BLOCK)
+    mins = D.min(axis=1)
+    norm = (D - mins[:, None]).astype(np.uint64)
+    if pad:
+        norm.reshape(-1)[nd:] = 0  # spec: pad region packs as zeros
+    M = norm.reshape(nblocks * DELTA_BP_MINIS, vpm)
+    maxima = M.max(axis=1)
+    widths = np.array(
+        [width_from_max_int(int(x)) for x in maxima], dtype=np.uint8
+    )
+    # fully-pad miniblocks (no real value at all) stay width 0 / no payload
+    # automatically: their max is the zeroed pad
+    packed_by_mini: list[bytes | None] = [None] * len(maxima)
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        idx = np.flatnonzero(widths == w)
+        blob = pack_bits_lsb(M[idx].reshape(-1), w)
+        per = vpm * w // 8
+        for r, i in enumerate(idx):
+            packed_by_mini[i] = blob[r * per : (r + 1) * per]
+    for b in range(nblocks):
+        parts.append(encode_varint(_zigzag64(int(mins[b]))))
+        base = b * DELTA_BP_MINIS
+        parts.append(widths[base : base + DELTA_BP_MINIS].tobytes())
         for m in range(DELTA_BP_MINIS):
-            mb = norm[m * vpm : (m + 1) * vpm]
-            if len(mb) == 0:
-                continue  # width stays 0, no payload (trailing empty mini)
-            w = width_from_max_int(int(mb.max()))
-            widths[m] = w
-            if w == 0:
-                continue  # all-min miniblock: no payload bytes
-            if len(mb) < vpm:  # spec: last miniblock zero-pads to full size
-                mb = np.concatenate(
-                    [mb, np.zeros(vpm - len(mb), dtype=np.uint64)]
-                )
-            packed.append(pack_bits_lsb(mb, w))
-        parts.append(bytes(widths))
-        parts.extend(packed)
+            p = packed_by_mini[base + m]
+            if p is not None:
+                parts.append(p)
     return b"".join(parts), {}
 
 
@@ -114,6 +139,15 @@ def decode_delta_bp(data: bytes, n: int, params: dict | None = None) -> np.ndarr
     out = np.empty(n, dtype=np.int64)
     out[0] = first
     deltas = out[1:]  # filled in place, then one cumsum pass
+    # Pass 1 (round 6): walk the stream structure only — varints and width
+    # bytes — recording each payload-bearing miniblock's (dest, count, md,
+    # byte offset).  Pass 2 unpacks all same-width miniblocks in ONE
+    # kernel call each (payloads are full vpm-sized and vpm is a multiple
+    # of 64, so unpacking their concatenation equals per-mini unpacks);
+    # the old per-miniblock unpack paid ~1k tiny kernel calls per
+    # 256k-value chunk, >90% of the decode.
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    todo: list[tuple[int, int, int, int, int]] = []  # (dest, cnt, md, off, w)
     done = 0
     while done < nd:
         zz_md, pos = decode_varint(buf, pos)
@@ -129,11 +163,21 @@ def decode_delta_bp(data: bytes, n: int, params: dict | None = None) -> np.ndarr
                 deltas[done : done + mb_count] = md
             else:
                 nbytes = vpm * w // 8
-                deltas[done : done + mb_count] = (
-                    unpack_bits_lsb(buf[pos : pos + nbytes], w, mb_count) + md
-                )
+                todo.append((done, mb_count, md, pos, w))
                 pos += nbytes
             done += mb_count
+    if todo:
+        by_w: dict[int, list[tuple[int, int, int, int]]] = {}
+        for dest, cnt, md, off, w in todo:
+            by_w.setdefault(w, []).append((dest, cnt, md, off))
+        for w, items in by_w.items():
+            nbytes = vpm * w // 8
+            cat = np.concatenate(
+                [raw[off : off + nbytes] for _, _, _, off in items]
+            )
+            U = unpack_bits_lsb(cat, w, len(items) * vpm).reshape(-1, vpm)
+            for r, (dest, cnt, md, _off) in enumerate(items):
+                np.add(U[r, :cnt], md, out=deltas[dest : dest + cnt])
     np.cumsum(deltas, out=deltas)
     out[1:] += first
     return out

@@ -121,6 +121,10 @@ def dedup_components(
         hop = relaxed.select(
             F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
         )
+        # lazy checkpoint: the convergence aggregate right below is the
+        # round's first action, so it materializes the checkpoint in the
+        # SAME job — one Spark job per round instead of two (eager
+        # checkpoint job + separate agg job)
         jumped = (
             relaxed.join(hop, relaxed["comp"] == hop["jnode"], "left")
             .select(
@@ -129,7 +133,7 @@ def dedup_components(
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = jumped.agg(comp_sum).collect()[0][0]
         changed = int(new_sum != prev_sum)
