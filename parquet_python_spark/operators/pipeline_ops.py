@@ -91,11 +91,13 @@ def dedup_components(
         .distinct()
         .localCheckpoint()
     )
+    # lazy: the node-set distinct is a cheap derivation over the cached
+    # edges — round 1's job materializes it; no dedicated upfront job
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Convergence via the label-sum invariant: comp values only ever
     # DECREASE (both steps take minima over sets containing the old
@@ -103,8 +105,16 @@ def dedup_components(
     # iff any label changed — one aggregate over the freshly checkpointed
     # state instead of the old full equi-join + count per round.
     # decimal(38,0) keeps the sum exact at any id magnitude / node count.
+    # prev_sum starts unset (no job for the initial state): round 1 is
+    # unconditionally treated as changed, and from round 2 on the sums
+    # compare — at worst one extra (idempotent) round on an input that was
+    # already at the fixed point, identical output either way.  The unset
+    # sentinel is a private object, NOT None: sum() over an empty label
+    # table IS None, and the two must not be confused (an empty graph
+    # would then never certify convergence).
     comp_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
-    prev_sum = labels.agg(comp_sum).collect()[0][0]
+    _unset = object()
+    prev_sum = _unset
     changed = None  # None = the loop never ran (max_iters <= 0)
     for _ in range(max_iters):
         # neighbor relax: comp(u) <- min(comp(u), min over comp(v), v~u)
@@ -136,7 +146,7 @@ def dedup_components(
             .localCheckpoint(eager=False)
         )
         new_sum = jumped.agg(comp_sum).collect()[0][0]
-        changed = int(new_sum != prev_sum)
+        changed = int(prev_sum is _unset or new_sum != prev_sum)
         prev_sum = new_sum
         labels = jumped
         if changed == 0:

@@ -492,3 +492,22 @@ def test_dedup_components_with_minhash_candidates(spark):
         for r in dedup_components(cand).collect()
     }
     assert got == _union_find_components(pairs)
+
+
+def test_dedup_components_empty_graph_converges(spark):
+    """Round-6 regression pin: with the deferred-first-sum convergence
+    check, an EMPTY candidate graph (sum over no labels is None) must
+    still certify convergence instead of spinning to the max_iters raise
+    — the unset sentinel may not be confused with the None sum."""
+    from parquet_python_spark.operators.pipeline_ops import (
+        dedup_components,
+        dedup_keep_canonical,
+    )
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_components(pairs).count() == 0
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    rows = sorted(
+        tuple(r) for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    assert rows == [(1, 1, True), (2, 2, True)]
