@@ -683,13 +683,20 @@ def _engine_block_files_of_scan(blocks: DataFrame) -> list[str] | None:
     engine-written block files — else None.
 
     The zero-shuffle decode below is only sound when every partition's
-    rows are contiguous within one file, which THIS engine guarantees for
-    the files it writes (blk-*: one encode task's output, parts emitted
-    contiguously; cmp-*: whole blk files concatenated in order by
-    compact_blocks).  Anything else — a filtered/joined/cached blocks
-    DataFrame, JVM-written part-* files, non-local storage, or a directory
-    mid-compaction (sidecar/tmp present) — falls back to the general
-    shuffle path, which assumes nothing about layout."""
+    rows form exactly one contiguous run in exactly one file.  blk-*
+    files guarantee that by construction (one encode task's output,
+    content-addressed name, atomic rename — re-runs overwrite, never
+    duplicate).  cmp-* files are EXCLUDED even though compact_blocks
+    preserves run contiguity: compaction concatenates whatever .parquet
+    files a directory holds, and a directory that ever saw the JVM-append
+    encode modes (part-* files) can carry crash-window duplicate part
+    rows — folded into cmp files, the same part then appears as multiple
+    runs, which the grouped path collapses (by_col last-wins) but a
+    per-run decode would double (round-6 review finding, reproduced).
+    Anything else — a filtered/joined/cached blocks DataFrame, part-*
+    files, non-local storage, a mid-compaction directory (sidecar/tmp
+    present) — also falls back to the general shuffle path, which assumes
+    nothing about layout."""
     try:
         plan = blocks._jdf.queryExecution().optimizedPlan()
         if plan.getClass().getSimpleName() != "LogicalRelation":
@@ -709,10 +716,7 @@ def _engine_block_files_of_scan(blocks: DataFrame) -> list[str] | None:
         elif "://" in f:
             return None  # non-local filesystem: keep the generic path
         name = os.path.basename(f)
-        if not (
-            name.endswith(".parquet")
-            and (name.startswith("blk-") or name.startswith("cmp-"))
-        ):
+        if not (name.endswith(".parquet") and name.startswith("blk-")):
             return None
         out.append(f)
         dirs.add(os.path.dirname(f))
@@ -1315,14 +1319,17 @@ def encode_job(
         )
     else:
         m = m.filter(F.col("snapshot_id") == snapshot_id)
-    agg = m.agg(
-        F.count("*").alias("parts"),
-        F.sum("n_rows").alias("rows"),
-        F.sum("n_tokens").alias("tokens"),
-        F.sum("raw_bytes").alias("raw"),
-        F.sum("enc_bytes").alias("enc"),
-    ).collect()[0]
-    metrics.unpersist(blocking=False)
+    try:
+        agg = m.agg(
+            F.count("*").alias("parts"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("enc_bytes").alias("enc"),
+        ).collect()[0]
+    finally:
+        # a failed report must not pin the cache for the session's lifetime
+        metrics.unpersist(blocking=False)
     return {
         "snapshot_id": snapshot_id,
         "partitions": agg["parts"],

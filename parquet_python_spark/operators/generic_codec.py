@@ -2105,12 +2105,12 @@ def roundtrip(
             partitioning="none", page=page, outer=outer, build_stats=False,
         )
         # few-split scans would serialize the whole encode on a handful of
-        # tasks; round-robin up to the core count when the scan supplies
-        # under a quarter of it (same measured threshold as pipeline_ops.
-        # _with_min_parallelism — a no-op at real data sizes)
-        sc = df.sparkSession.sparkContext
-        if df.rdd.getNumPartitions() * 4 <= sc.defaultParallelism:
-            df = df.repartition(sc.defaultParallelism)
+        # tasks; the shared conditional bump (pipeline_ops) round-robins up
+        # to the core count only when the scan supplies under a quarter of
+        # it — a no-op at real data sizes
+        from .pipeline_ops import _with_min_parallelism
+
+        df = _with_min_parallelism(df)
 
         def enc_dec_stream(batches):
             buf: list = []

@@ -105,6 +105,11 @@ def dedup_components(
     # iff any label changed — one aggregate over the freshly checkpointed
     # state instead of the old full equi-join + count per round.
     # decimal(38,0) keeps the sum exact at any id magnitude / node count.
+    # The sum only exists for INTEGRAL node ids; any other id type
+    # (string doc ids, floats) keeps the old equi-join change-count —
+    # under ANSI mode a decimal cast of a string id would throw, and with
+    # ANSI off it would go NULL and silently certify a bogus fixed point
+    # (round-6 review finding).
     # prev_sum starts unset (no job for the initial state): round 1 is
     # unconditionally treated as changed, and from round 2 on the sums
     # compare — at worst one extra (idempotent) round on an input that was
@@ -112,6 +117,10 @@ def dedup_components(
     # sentinel is a private object, NOT None: sum() over an empty label
     # table IS None, and the two must not be confused (an empty graph
     # would then never certify convergence).
+    sum_ok = isinstance(
+        pairs.schema[src].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
     comp_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
     _unset = object()
     prev_sum = _unset
@@ -145,9 +154,16 @@ def dedup_components(
             )
             .localCheckpoint(eager=False)
         )
-        new_sum = jumped.agg(comp_sum).collect()[0][0]
-        changed = int(prev_sum is _unset or new_sum != prev_sum)
-        prev_sum = new_sum
+        if sum_ok:
+            new_sum = jumped.agg(comp_sum).collect()[0][0]
+            changed = int(prev_sum is _unset or new_sum != prev_sum)
+            prev_sum = new_sum
+        else:
+            changed = (
+                jumped.join(labels.withColumnRenamed("comp", "old"), "node")
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+            )
         labels = jumped
         if changed == 0:
             break
@@ -163,7 +179,7 @@ def dedup_components(
         detail = (
             "the loop never ran (max_iters <= 0)"
             if changed is None
-            else "last round still lowered the label sum"
+            else "last round still changed labels"
         )
         raise RuntimeError(
             f"dedup_components: cannot certify convergence after "

@@ -511,3 +511,24 @@ def test_dedup_components_empty_graph_converges(spark):
         tuple(r) for r in dedup_keep_canonical(docs, pairs).collect()
     )
     assert rows == [(1, 1, True), (2, 2, True)]
+
+
+def test_dedup_components_string_node_ids(spark):
+    """Round-6 review fix: the label-sum convergence shortcut only applies
+    to integral ids; string node ids (the tokens table's doc_id shape)
+    must route through the equi-join change count and still converge to
+    the lexicographic-min component labels."""
+    from parquet_python_spark.operators.pipeline_ops import dedup_components
+
+    pairs = spark.createDataFrame(
+        [("d-3", "d-5"), ("d-5", "d-7"), ("d-1", "d-2")],
+        "doc_a string, doc_b string",
+    )
+    rows = sorted(tuple(r) for r in dedup_components(pairs).collect())
+    assert rows == [
+        ("d-1", "d-1"),
+        ("d-2", "d-1"),
+        ("d-3", "d-3"),
+        ("d-5", "d-3"),
+        ("d-7", "d-3"),
+    ]
