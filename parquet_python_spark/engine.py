@@ -98,6 +98,15 @@ _BLOCKS_ARROW_SCHEMA = pa.schema(
     ]
 )
 
+# blk/cmp parquet compression: payload is already entropy-coded by the
+# column codecs (snappy on top is pure CPU), every other column keeps
+# snappy.  The dict must name EVERY column: pyarrow leaves unlisted
+# columns uncompressed rather than applying the default codec.
+_BLK_COMPRESSION = {
+    f.name: ("none" if f.name == "payload" else "snappy")
+    for f in _BLOCKS_ARROW_SCHEMA
+}
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -481,8 +490,11 @@ def encode_table_files_native(
                 # payload bytes are already entropy-coded by the column
                 # codecs — parquet-level snappy on top is pure CPU (guide
                 # §2.3: compressing high-entropy payloads), measured ~35%
-                # of this write+read path for a ~4% size increase
-                pq.write_table(out, tmp, compression={"payload": "none"})
+                # of this write+read path for a ~4% size increase.  Every
+                # OTHER column is listed explicitly with snappy: pyarrow
+                # treats columns absent from a compression dict as
+                # UNCOMPRESSED, not as the default codec.
+                pq.write_table(out, tmp, compression=_BLK_COMPRESSION)
                 os.rename(tmp, fname)
                 yield from out.drop_columns(["payload"]).to_batches()
 
@@ -1016,7 +1028,7 @@ def compact_blocks(
                 sidecar = final + ".srcs.json"
                 tmp = final + ".inprogress"
                 # same payload-uncompressed policy as the blk writer
-                pq.write_table(out, tmp, compression={"payload": "none"})
+                pq.write_table(out, tmp, compression=_BLK_COMPRESSION)
                 with open(sidecar, "w") as f:
                     json.dump([os.path.basename(p) for p in srcs], f)
                 os.rename(tmp, final)
@@ -1296,30 +1308,30 @@ def encode_job(
     from pyspark import StorageLevel
 
     metrics = metrics.persist(StorageLevel.MEMORY_AND_DISK)
-    tmp_metrics = metrics_path + "_tmp"
-    metrics.write.mode("overwrite").parquet(tmp_metrics)
-    # atomic-ish swap so a crash mid-write never corrupts the resume state
-    if os.path.isdir(metrics_path):
-        os.rename(metrics_path, metrics_path + "_old")
-    os.rename(tmp_metrics, metrics_path)
-    if os.path.isdir(metrics_path + "_old"):
-        import shutil
-
-        shutil.rmtree(metrics_path + "_old", ignore_errors=True)
-
-    m = metrics  # cached above; byte-equal to what metrics_path now holds
-    if mode in ("files", "narrow-ipc"):
-        # report over the CURRENT snapshot's file set: partitions encoded
-        # under earlier snapshots count if their file is still in the table;
-        # partitions of removed files do not
-        m = m.filter(
-            F.substring_index(
-                F.substring_index(F.col("part_id"), "#", -1), ".", 1
-            ).isin(list(cur_keys))
-        )
-    else:
-        m = m.filter(F.col("snapshot_id") == snapshot_id)
     try:
+        tmp_metrics = metrics_path + "_tmp"
+        metrics.write.mode("overwrite").parquet(tmp_metrics)
+        # atomic-ish swap: a crash mid-write never corrupts the resume state
+        if os.path.isdir(metrics_path):
+            os.rename(metrics_path, metrics_path + "_old")
+        os.rename(tmp_metrics, metrics_path)
+        if os.path.isdir(metrics_path + "_old"):
+            import shutil
+
+            shutil.rmtree(metrics_path + "_old", ignore_errors=True)
+
+        m = metrics  # cached; byte-equal to what metrics_path now holds
+        if mode in ("files", "narrow-ipc"):
+            # report over the CURRENT snapshot's file set: partitions
+            # encoded under earlier snapshots count if their file is still
+            # in the table; partitions of removed files do not
+            m = m.filter(
+                F.substring_index(
+                    F.substring_index(F.col("part_id"), "#", -1), ".", 1
+                ).isin(list(cur_keys))
+            )
+        else:
+            m = m.filter(F.col("snapshot_id") == snapshot_id)
         agg = m.agg(
             F.count("*").alias("parts"),
             F.sum("n_rows").alias("rows"),
@@ -1328,7 +1340,8 @@ def encode_job(
             F.sum("enc_bytes").alias("enc"),
         ).collect()[0]
     finally:
-        # a failed report must not pin the cache for the session's lifetime
+        # a failed write/swap/report must not pin the cache for the
+        # session's lifetime
         metrics.unpersist(blocking=False)
     return {
         "snapshot_id": snapshot_id,

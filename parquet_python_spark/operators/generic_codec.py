@@ -2111,6 +2111,9 @@ def roundtrip(
         from .pipeline_ops import _with_min_parallelism
 
         df = _with_min_parallelism(df)
+        # enc sorts each chunk by key_col, so the key must ride along even
+        # when the caller did not ask for it in the output columns
+        sel = ([key_col] if key_col not in col_kinds else []) + cols
 
         def enc_dec_stream(batches):
             buf: list = []
@@ -2134,24 +2137,21 @@ def roundtrip(
                     yield from flush()
             yield from flush()
 
-        decoded = df.select(*cols).mapInArrow(
+        decoded = df.select(*sel).mapInArrow(
             enc_dec_stream, schema=out_schema
         )
-        return decoded.select(
-            *[
-                F.col(f.name).cast(_cast_target(f.dataType)).alias(f.name)
-                for f in in_schema.fields
-            ]
+    else:
+        work, enc = _encode_plan(
+            df, key_col, col_kinds, n_parts, forced_codecs, page=page,
+            outer=outer, build_stats=False,
         )
-    work, enc = _encode_plan(
-        df, key_col, col_kinds, n_parts, forced_codecs, page=page,
-        outer=outer, build_stats=False,
-    )
 
-    def enc_dec(tbl: pa.Table) -> pa.Table:
-        return dec(enc(tbl))
+        def enc_dec(tbl: pa.Table) -> pa.Table:
+            return dec(enc(tbl))
 
-    decoded = work.groupBy("part_id").applyInArrow(enc_dec, schema=out_schema)
+        decoded = work.groupBy("part_id").applyInArrow(
+            enc_dec, schema=out_schema
+        )
     # cast back to the exact input Spark types (e.g. int32 vs int64)
     return decoded.select(
         *[

@@ -26,9 +26,21 @@ def _with_min_parallelism(df: DataFrame) -> DataFrame:
     already exceeds the extra-parallelism gain once the scan supplies a
     third of the cores (10-split input on 32 cores: +12% with the bump).
     Scale-safe by construction: at real data sizes splits >> cores and
-    this is a no-op; the condition, not a constant, decides."""
+    this is a no-op; the condition, not a constant, decides.
+
+    Only exchange-free plans are probed: an input that already shuffled
+    runs at the shuffle partition count (>= cores here), so the bump would
+    buy nothing — and under AQE, touching df.rdd on such a plan would
+    eagerly EXECUTE its shuffle stages at plan-build time just to read a
+    partition count, doubling the upstream work (round-6 review)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # noqa: BLE001 - internal API drift: skip the bump
+        return df
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() * 4 <= target:
         return df.repartition(target)
     return df
@@ -117,15 +129,18 @@ def dedup_components(
     # sentinel is a private object, NOT None: sum() over an empty label
     # table IS None, and the two must not be confused (an empty graph
     # would then never certify convergence).
-    sum_ok = isinstance(
-        pairs.schema[src].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    _int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    # BOTH endpoint columns must be integral: the edges union coerces a
+    # mixed pair of types, so checking src alone could still feed the
+    # decimal cast a coerced string/float label
+    sum_ok = isinstance(pairs.schema[src].dataType, _int_types) and isinstance(
+        pairs.schema[dst].dataType, _int_types
     )
     comp_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
     _unset = object()
     prev_sum = _unset
     changed = None  # None = the loop never ran (max_iters <= 0)
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # neighbor relax: comp(u) <- min(comp(u), min over comp(v), v~u)
         via_edges = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -154,16 +169,26 @@ def dedup_components(
             )
             .localCheckpoint(eager=False)
         )
-        if sum_ok:
-            new_sum = jumped.agg(comp_sum).collect()[0][0]
-            changed = int(prev_sum is _unset or new_sum != prev_sum)
-            prev_sum = new_sum
-        else:
-            changed = (
+        def explicit_changed() -> int:
+            return (
                 jumped.join(labels.withColumnRenamed("comp", "old"), "node")
                 .filter(F.col("comp") != F.col("old"))
                 .count()
             )
+
+        if sum_ok:
+            new_sum = jumped.agg(comp_sum).collect()[0][0]
+            if prev_sum is _unset and it == max_iters - 1:
+                # the deferred first sum cannot certify on the FINAL
+                # allowed round — fall back to the explicit change count
+                # so max_iters=1 on an already-converged graph still
+                # certifies instead of raising (round-6 review)
+                changed = explicit_changed()
+            else:
+                changed = int(prev_sum is _unset or new_sum != prev_sum)
+            prev_sum = new_sum
+        else:
+            changed = explicit_changed()
         labels = jumped
         if changed == 0:
             break

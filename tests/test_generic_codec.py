@@ -173,3 +173,13 @@ def test_roundtrip_fused_single_exchange(spark):
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in in_schema.fields]
     )
     assert _sorted(fused) == _sorted(unfused)
+
+
+def test_roundtrip_key_not_in_output_columns(spark):
+    """Round-6 review fix: the zero-shuffle fused path must carry the sort
+    key along even when the caller excludes it from col_kinds (the
+    pre-round-6 path selected [key_col] + cols; the first fused version
+    dropped it and crashed in the per-chunk sort)."""
+    li = _t(spark, "lineitem")
+    rt = roundtrip(li, "l_orderkey", {"l_partkey": "int", "l_suppkey": "int"})
+    assert _sorted(rt) == _sorted(li.select("l_partkey", "l_suppkey"))

@@ -532,3 +532,18 @@ def test_dedup_components_string_node_ids(spark):
         ("d-5", "d-3"),
         ("d-7", "d-3"),
     ]
+
+
+def test_dedup_components_max_iters_one_already_converged(spark):
+    """Round-6 review fix: with the deferred first sum, max_iters=1 on a
+    graph whose initial labels are already the fixed point (self-loop
+    edges only — the one shape where round 1 changes nothing) must still
+    certify via the explicit change-count fallback instead of raising,
+    exactly as the pre-round-6 change-count loop did."""
+    from parquet_python_spark.operators.pipeline_ops import dedup_components
+
+    pairs = spark.createDataFrame([(1, 1), (3, 3)], "doc_a long, doc_b long")
+    rows = sorted(
+        tuple(r) for r in dedup_components(pairs, max_iters=1).collect()
+    )
+    assert rows == [(1, 1), (3, 3)]
