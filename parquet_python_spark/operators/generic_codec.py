@@ -723,6 +723,29 @@ def encode_df(
     return work.groupBy("part_id").applyInArrow(enc_group, schema=BLOCKS_SCHEMA)
 
 
+def _is_sorted_by(tbl: pa.Table, key_col: str) -> bool:
+    """True when the chunk is already ascending-sorted on ``key_col`` (no
+    nulls): sort_by is stable, so its result on such input is the identity
+    permutation and the O(n log n) sort can be skipped — byte-identical
+    blocks either way.  Engine-written tables and most scan splits arrive
+    key-sorted, making this the common case; the check is one vectorized
+    comparison pass (~1% of the sort it replaces)."""
+    col = tbl.column(key_col)
+    if col.null_count:
+        return False  # sort_by moves nulls to the end: let it
+    if len(col) < 2:
+        return True
+    try:
+        arr = combined_chunks(col)
+        return bool(
+            pc.all(
+                pc.greater_equal(arr.slice(1), arr.slice(0, len(arr) - 1))
+            ).as_py()
+        )
+    except pa.ArrowException:  # non-comparable key type: let sort_by decide
+        return False
+
+
 def _encode_plan(
     df: DataFrame,
     key_col: str,
@@ -811,7 +834,8 @@ def _encode_plan(
         work = work.withColumn(f"__bh_{c}", F.xxhash64(F.col(c)))
 
     def enc(tbl: pa.Table, part_id: int | None = None) -> pa.Table:
-        tbl = tbl.sort_by(key_col)
+        if not _is_sorted_by(tbl, key_col):
+            tbl = tbl.sort_by(key_col)
         if part_id is None:
             part_id = tbl.column("part_id")[0].as_py()
         n_rows = tbl.num_rows
@@ -2065,6 +2089,94 @@ def roundtrip_filtered_null_modes(
     return one(True), one(False)
 
 
+# file-direct fast-path bounds: footers are read on the driver (one open per
+# file), so cap the file count at a size where that stays metadata-cheap;
+# row groups are only ever split into TARGET-sized pieces (each piece
+# re-reads its row group — parquet has no sub-row-group random access) in
+# the few-row-group regime, and never for row groups whose compressed size
+# makes the re-read material.
+_FAST_SCAN_MAX_FILES = 4096
+_FAST_SCAN_SPLIT_BYTES_CAP = 512 << 20
+
+
+def _fast_scan_type_ok(t: pa.DataType) -> bool:
+    """Arrow types whose values are identical whether they arrive through
+    Spark's scan->Arrow conversion or a direct pyarrow.parquet read.
+    Timestamps are excluded (Spark applies session-timezone semantics in
+    its Arrow conversion); decimals, halffloat, uint64 and nested
+    struct/map types are excluded conservatively."""
+
+    def scalar_ok(s: pa.DataType) -> bool:
+        return (
+            (pa.types.is_integer(s) and not pa.types.is_uint64(s))
+            or (pa.types.is_floating(s) and not pa.types.is_float16(s))
+            or pa.types.is_boolean(s)
+            or pa.types.is_string(s)
+            or pa.types.is_large_string(s)
+            or pa.types.is_binary(s)
+            or pa.types.is_large_binary(s)
+            or pa.types.is_fixed_size_binary(s)
+            or s == pa.date32()
+        )
+
+    if scalar_ok(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return scalar_ok(t.value_type)
+    return False
+
+
+def _bare_local_parquet_units(df: DataFrame, needed: list[str]):
+    """(paths, units) when ``df`` is a bare, unfiltered scan of local
+    parquet files whose ``needed`` columns all exist in every file with
+    value-stable Arrow types (_fast_scan_type_ok) — else None.
+
+    Mirrors engine._engine_block_files_of_scan: the optimized plan must be
+    the LogicalRelation itself (any caller filter/projection/join/cache
+    falls back), every file must be local, and the footers are validated
+    on the driver — a non-parquet relation fails the footer read and falls
+    back too.  units are (file_idx, row_group_idx, n_rows, n_bytes) for
+    every non-empty row group."""
+    import pyarrow.parquet as pq
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        files = list(df.inputFiles())
+    except Exception:  # noqa: BLE001 - internal API drift: use the safe path
+        return None
+    if not files or len(files) > _FAST_SCAN_MAX_FILES:
+        return None
+    paths: list[str] = []
+    for f in files:
+        if f.startswith("file:"):
+            f = "/" + f.split(":", 1)[1].lstrip("/")
+        elif "://" in f:
+            return None  # non-local filesystem: keep the generic path
+        paths.append(f)
+    paths.sort()
+    units: list[tuple[int, int, int, int]] = []
+    try:
+        for fi, p in enumerate(paths):
+            pf = pq.ParquetFile(p)
+            sch = pf.schema_arrow
+            for c in needed:
+                idx = sch.get_field_index(c)
+                if idx < 0 or not _fast_scan_type_ok(sch.field(idx).type):
+                    return None
+            meta = pf.metadata
+            for rg in range(meta.num_row_groups):
+                rgm = meta.row_group(rg)
+                if rgm.num_rows > 0:
+                    units.append((fi, rg, rgm.num_rows, rgm.total_byte_size))
+    except Exception:  # noqa: BLE001 - unreadable/non-parquet file: fall back
+        return None
+    if not units:
+        return None  # empty table: the generic path produces the empty frame
+    return paths, units
+
+
 def roundtrip(
     df: DataFrame,
     key_col: str,
@@ -2094,7 +2206,23 @@ def roundtrip(
     argument as the engine's files mode.  mapInArrow over the scan
     encodes+decodes one ~TARGET_ROWS_PER_PART chunk at a time per split.
     A caller-pinned n_parts keeps the content-addressed groupBy path
-    (chunk layout was requested explicitly)."""
+    (chunk layout was requested explicitly).
+
+    FILE-DIRECT execution (round 6, on top of the fused path): when the
+    input is a bare, unfiltered scan of local parquet files
+    (_bare_local_parquet_units), the workers read the files directly with
+    pyarrow instead of receiving rows through Spark's scan -> Arrow IPC
+    conversion — measured, that conversion (an identity mapInArrow over
+    the 10x lineitem scan) costs ~12x the scan itself and dominated the
+    fused round-trip.  Task dispatch is one task per row group (the same
+    range+closure shape as the engine's decode fast path); in the
+    few-row-group regime the groups are split into ~TARGET-sized pieces
+    for parallelism (each piece re-reads its row group — bounded by
+    _FAST_SCAN_SPLIT_BYTES_CAP, and only when row groups < cores, where
+    the re-read is small by construction).  Any other input — filtered,
+    derived, cached, non-local, non-parquet, or carrying Arrow types
+    whose Spark conversion is not value-identical (timestamps, decimals)
+    — keeps the scan-fed fused path unchanged."""
     cols = list(col_kinds)
     in_schema = df.select(*cols).schema
     out_schema = _arrow_safe_schema(in_schema, col_kinds)
@@ -2104,42 +2232,85 @@ def roundtrip(
             df, key_col, col_kinds, None, forced_codecs,
             partitioning="none", page=page, outer=outer, build_stats=False,
         )
-        # few-split scans would serialize the whole encode on a handful of
-        # tasks; the shared conditional bump (pipeline_ops) round-robins up
-        # to the core count only when the scan supplies under a quarter of
-        # it — a no-op at real data sizes
-        from .pipeline_ops import _with_min_parallelism
-
-        df = _with_min_parallelism(df)
         # enc sorts each chunk by key_col, so the key must ride along even
         # when the caller did not ask for it in the output columns
         sel = ([key_col] if key_col not in col_kinds else []) + cols
+        fast = _bare_local_parquet_units(df, sel)
+        if fast is not None:
+            paths, units = fast
+            par = df.sparkSession.sparkContext.defaultParallelism
+            tasks: list[tuple[int, int, int, int]] = []
+            for fi, rg, rows, nbytes in units:
+                if (
+                    len(units) < par
+                    and rows > TARGET_ROWS_PER_PART
+                    and nbytes <= _FAST_SCAN_SPLIT_BYTES_CAP
+                ):
+                    for s in range(0, rows, TARGET_ROWS_PER_PART):
+                        tasks.append(
+                            (fi, rg, s, min(TARGET_ROWS_PER_PART, rows - s))
+                        )
+                else:
+                    tasks.append((fi, rg, 0, rows))
 
-        def enc_dec_stream(batches):
-            buf: list = []
-            nbuf = 0
+            def rt_files(batches):
+                import pyarrow.parquet as pq
 
-            def flush():
-                nonlocal buf, nbuf
-                if not buf:
-                    return ()
-                tbl = pa.Table.from_batches(buf)
-                buf, nbuf = [], 0
-                # part_id is unobservable here: dec treats each chunk's
-                # block rows as one partition and never keys on the id
-                out = dec(enc(tbl, part_id=0))
-                return out.to_batches()
+                for b in batches:
+                    for i in b.column("id").to_pylist():
+                        fi, rg, s, ln = tasks[int(i)]
+                        tbl = (
+                            pq.ParquetFile(paths[fi])
+                            .read_row_group(rg, columns=sel, use_threads=False)
+                            .select(sel)
+                            .slice(s, ln)
+                        )
+                        off = 0
+                        while off < tbl.num_rows:
+                            chunk = tbl.slice(
+                                off, TARGET_ROWS_PER_PART
+                            ).combine_chunks()
+                            off += chunk.num_rows
+                            yield from dec(enc(chunk, part_id=0)).to_batches()
 
-            for b in batches:
-                buf.append(b)
-                nbuf += b.num_rows
-                if nbuf >= TARGET_ROWS_PER_PART:
-                    yield from flush()
-            yield from flush()
+            idx = df.sparkSession.range(
+                len(tasks), numPartitions=max(len(tasks), 1)
+            )
+            decoded = idx.mapInArrow(rt_files, schema=out_schema)
+        else:
+            # few-split scans would serialize the whole encode on a handful
+            # of tasks; the shared conditional bump (pipeline_ops)
+            # round-robins up to the core count only when the scan supplies
+            # under a quarter of it — a no-op at real data sizes
+            from .pipeline_ops import _with_min_parallelism
 
-        decoded = df.select(*sel).mapInArrow(
-            enc_dec_stream, schema=out_schema
-        )
+            df = _with_min_parallelism(df)
+
+            def enc_dec_stream(batches):
+                buf: list = []
+                nbuf = 0
+
+                def flush():
+                    nonlocal buf, nbuf
+                    if not buf:
+                        return ()
+                    tbl = pa.Table.from_batches(buf)
+                    buf, nbuf = [], 0
+                    # part_id is unobservable here: dec treats each chunk's
+                    # block rows as one partition and never keys on the id
+                    out = dec(enc(tbl, part_id=0))
+                    return out.to_batches()
+
+                for b in batches:
+                    buf.append(b)
+                    nbuf += b.num_rows
+                    if nbuf >= TARGET_ROWS_PER_PART:
+                        yield from flush()
+                yield from flush()
+
+            decoded = df.select(*sel).mapInArrow(
+                enc_dec_stream, schema=out_schema
+            )
     else:
         work, enc = _encode_plan(
             df, key_col, col_kinds, n_parts, forced_codecs, page=page,

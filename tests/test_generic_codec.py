@@ -175,6 +175,158 @@ def test_roundtrip_fused_single_exchange(spark):
     assert _sorted(fused) == _sorted(unfused)
 
 
+def test_roundtrip_file_direct_fast_path(spark):
+    """Round-6 optimization: a bare local parquet scan round-trips via
+    file-direct pyarrow reads (range dispatch, one task per row-group
+    piece) — Spark's scan->Arrow conversion, which dominated the fused
+    path, is gone from the plan entirely.  Rows must equal the pinned
+    groupBy path bit-for-bit."""
+    from parquet_python_spark.operators.generic_codec import (
+        _bare_local_parquet_units,
+    )
+
+    li = _t(spark, "lineitem")
+    kinds = {"l_orderkey": "int", "l_partkey": "int", "l_quantity": "float64"}
+    sel = list(kinds)
+    assert _bare_local_parquet_units(li, sel) is not None
+
+    fast = roundtrip(li, "l_orderkey", kinds)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "Range" in plan  # file-direct dispatch, not a parquet scan
+    assert "Scan parquet" not in plan
+    assert "Exchange" not in plan
+
+    pinned = roundtrip(li, "l_orderkey", kinds, n_parts=4)
+    assert _sorted(fast) == _sorted(pinned)
+
+
+def test_roundtrip_file_direct_fallbacks(spark):
+    """The fast path must refuse anything that is not a bare local parquet
+    scan: filtered/derived inputs keep the scan-fed fused path (plan
+    retains the parquet scan), and timestamp columns are excluded because
+    Spark's Arrow conversion applies session-timezone semantics."""
+    from parquet_python_spark.operators.generic_codec import (
+        _bare_local_parquet_units,
+    )
+
+    li = _t(spark, "lineitem")
+    # filtered input: optimized plan is Filter(LogicalRelation) — no fast
+    filtered = li.filter(F.col("l_orderkey") > 100)
+    assert _bare_local_parquet_units(filtered, ["l_orderkey"]) is None
+    kinds = {"l_orderkey": "int", "l_partkey": "int"}
+    rt = roundtrip(filtered, "l_orderkey", kinds)
+    plan = rt._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan  # generic fused path kept
+    assert _sorted(rt) == _sorted(filtered.select("l_orderkey", "l_partkey"))
+
+    # derived input: Project with a computed column — no fast
+    derived = li.select(
+        "l_orderkey", (F.col("l_partkey") * 2).alias("double_pk")
+    )
+    assert _bare_local_parquet_units(derived, ["l_orderkey"]) is None
+
+    # timestamp column in the file: value semantics differ through Spark's
+    # Arrow conversion — the whole file is refused
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        li.select(
+            "l_orderkey",
+            F.to_timestamp(F.lit("2024-01-02 03:04:05")).alias("ts"),
+        ).write.parquet(f"{d}/ts_table")
+        ts_df = spark.read.parquet(f"{d}/ts_table")
+        assert _bare_local_parquet_units(ts_df, ["l_orderkey", "ts"]) is None
+        # ...but a timestamp column NOT requested by the round-trip is fine
+        units = _bare_local_parquet_units(ts_df, ["l_orderkey"])
+        assert units is not None
+        rt2 = roundtrip(ts_df, "l_orderkey", {"l_orderkey": "int"})
+        assert _sorted(rt2) == _sorted(ts_df.select("l_orderkey"))
+
+
+def test_roundtrip_file_direct_row_group_split(spark, tmp_path):
+    """In the few-row-group regime the fast path splits a large row group
+    into ~TARGET_ROWS_PER_PART pieces so a single-file table does not
+    serialize the codec pass on one task; values stay identical."""
+    import parquet_python_spark.operators.generic_codec as gc
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    path = str(tmp_path / "one_file")
+    df.coalesce(1).write.parquet(path)
+    back = spark.read.parquet(path)
+    old = gc.TARGET_ROWS_PER_PART
+    gc.TARGET_ROWS_PER_PART = 1000  # force splitting on the small fixture
+    try:
+        rt = gc.roundtrip(back, "k", {"k": "int", "v": "int"})
+        n_tasks = rt._jdf.queryExecution().executedPlan().toString().count(
+            "Range"
+        )
+        assert n_tasks >= 1
+        assert _sorted(rt) == _sorted(back.select("k", "v"))
+    finally:
+        gc.TARGET_ROWS_PER_PART = old
+
+
+def test_encode_sort_skip_byte_identical(spark):
+    """The already-sorted check before the per-chunk sort must be a pure
+    skip: blocks encoded from a pre-sorted chunk equal the always-sort
+    wire byte-for-byte (stable sort of sorted input is the identity), and
+    unsorted/null-key chunks still sort."""
+    import pyarrow as pa
+
+    import parquet_python_spark.operators.generic_codec as gc
+
+    li = _t(spark, "lineitem")
+    kinds = {"l_orderkey": "int", "l_partkey": "int", "l_quantity": "float64"}
+    _, enc = gc._encode_plan(
+        li, "l_orderkey", kinds, None, None,
+        partitioning="none", build_stats=False,
+    )
+    pdf = li.select(*kinds).toPandas()
+    t_sorted = pa.Table.from_pandas(
+        pdf.sort_values("l_orderkey", kind="mergesort"), preserve_index=False
+    )
+    t_shuffled = pa.Table.from_pandas(
+        pdf.sample(frac=1.0, random_state=7), preserve_index=False
+    )
+    assert gc._is_sorted_by(t_sorted, "l_orderkey")
+    assert not gc._is_sorted_by(t_shuffled, "l_orderkey")
+    # the skip's premise, on real data WITH duplicate keys: a stable sort
+    # of already-sorted input is the identity permutation, so skipping it
+    # cannot change a single byte of the encode
+    assert t_sorted.sort_by("l_orderkey").equals(t_sorted)
+    a = enc(t_sorted, part_id=0).to_pylist()
+    b = enc(t_sorted.sort_by("l_orderkey"), part_id=0).to_pylist()
+    assert [r["payload"] for r in a] == [r["payload"] for r in b]
+    assert [r["checksum"] for r in a] == [r["checksum"] for r in b]
+    # an unsorted chunk still goes through the sort and round-trips to the
+    # same multiset of rows
+    out_schema = gc._arrow_safe_schema(li.select(*kinds).schema, kinds)
+    dec = gc._decode_fn(kinds, out_schema)
+    got = dec(enc(t_shuffled, part_id=0)).to_pandas()
+    exp = pdf.astype({"l_partkey": "int64"})
+    key = ["l_orderkey", "l_partkey", "l_quantity"]
+    assert (
+        got.sort_values(key).reset_index(drop=True).equals(
+            exp.astype(got.dtypes.to_dict())
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+    )
+    # null keys defer to sort_by (nulls go last) — the check must not
+    # claim sortedness
+    t_nulls = pa.table(
+        {
+            "l_orderkey": pa.array([1, None, 3], type=pa.int64()),
+            "l_partkey": pa.array([1, 2, 3], type=pa.int64()),
+            "l_quantity": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    assert not gc._is_sorted_by(t_nulls, "l_orderkey")
+
+
 def test_roundtrip_key_not_in_output_columns(spark):
     """Round-6 review fix: the zero-shuffle fused path must carry the sort
     key along even when the caller excludes it from col_kinds (the
