@@ -2157,6 +2157,7 @@ def _bare_local_parquet_units(df: DataFrame, needed: list[str]):
         paths.append(f)
     paths.sort()
     units: list[tuple[int, int, int, int]] = []
+    first_types: dict[str, pa.DataType] = {}
     try:
         for fi, p in enumerate(paths):
             pf = pq.ParquetFile(p)
@@ -2164,6 +2165,14 @@ def _bare_local_parquet_units(df: DataFrame, needed: list[str]):
             for c in needed:
                 idx = sch.get_field_index(c)
                 if idx < 0 or not _fast_scan_type_ok(sch.field(idx).type):
+                    return None
+                # merge-schema datasets may mix physical types per file
+                # (int32 in one, int64 in another); Spark's scan coerces
+                # to the relation schema, a per-file read would not —
+                # require uniform types across files
+                if first_types.setdefault(c, sch.field(idx).type) != sch.field(
+                    idx
+                ).type:
                     return None
             meta = pf.metadata
             for rg in range(meta.num_row_groups):
