@@ -723,16 +723,52 @@ def text_metrics(docs: DataFrame) -> DataFrame:
     content fingerprint.  This is the shape a production pipeline runs —
     one pass over the scan computes all signals (five separate queries
     would scan the corpus five times); the individual operators above stay
-    as the composable single-signal views of the same column builders."""
+    as the composable single-signal views of the same column builders.
+
+    Round 6: shared intermediates (lower(text) behind the five stopword
+    regexes, the split size, the translate counters, length) are
+    materialized in a first projection so each is computed once per row —
+    same values, measured 1.05 -> 0.79 s on the 10x corpus; the permilles
+    then read the materialized counters."""
     docs = _with_min_parallelism(docs)
-    return docs.select(
+    m = docs.select(
         "doc_id",
+        "text",
+        F.lower(F.col("text")).alias("lt"),
         *_text_stats_cols(),
+    )
+    permille = lambda num, den: F.floor(  # noqa: E731 - quality_score idiom
+        F.lit(1000) * num / F.greatest(den, F.lit(1))
+    ).cast("long")
+    score_struct = F.array(
+        *[
+            F.struct(
+                F.regexp_count(F.col("lt"), F.lit(rx)).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, rx in LANG_PROBES.items()
+        ]
+    )
+    return m.select(
+        "doc_id",
+        "len_chars",
+        "n_ws_tokens",
+        "n_alpha",
+        "n_digit",
+        "n_punct",
         F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
         .cast("long")
         .alias("n_bpe_tokens"),
-        *_quality_cols(),
-        _lang_pred_col().alias("lang_pred"),
+        permille(
+            F.regexp_count(F.col("lt"), F.lit(r"\b(the|a|and|of|to|in|is)\b")),
+            F.col("n_ws_tokens"),
+        ).alias("stop_permille"),
+        permille(F.col("n_alpha"), F.col("len_chars")).alias("alpha_permille"),
+        permille(F.col("n_punct"), F.col("len_chars")).alias("punct_permille"),
+        permille(
+            F.col("len_chars") - F.col("n_ws_tokens") + 1, F.col("n_ws_tokens")
+        ).alias("mean_word_len_x1000"),
+        F.array_max(score_struct).getField("lang").alias("lang_pred"),
         F.md5(F.col("text")).alias("fp"),
     )
 
@@ -828,20 +864,21 @@ def gopher_quality(
             (e - s).cast("long").alias("run"), F.element_at(sg, s).alias("gram")
         ),
     )
-    best = F.array_max(runs)
-    top = F.when(
-        F.size(sg) >= 1,
-        F.struct(best["run"].alias("best"), best["gram"].alias("bg")),
-    ).otherwise(
-        F.struct(F.lit(0).cast("long").alias("best"), F.lit("").alias("bg"))
+    top = F.when(F.size(sg) >= 1, F.array_max(runs)).otherwise(
+        F.struct(F.lit(0).cast("long").alias("run"), F.lit("").alias("gram"))
     )
-    scanned = with_starts.select(
+    # materialize the winning struct ONCE before reading its fields:
+    # interpreted projections do not share subexpressions, so reading
+    # top["run"] and top["gram"] directly would evaluate the whole
+    # zip_with + array_max per field (measured 2.5x slower)
+    with_top = with_starts.select("doc_id", "text", "nw", "ndw", top.alias("bt"))
+    scanned = with_top.select(
         "doc_id",
         "text",
         "nw",
         "ndw",
-        top["best"].alias("top_gram_n"),
-        top["bg"].alias("top_gram"),
+        F.col("bt.run").alias("top_gram_n"),
+        F.col("bt.gram").alias("top_gram"),
     )
     len_chars = F.length("text")
     n_hash = len_chars - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
@@ -856,7 +893,12 @@ def gopher_quality(
     rep_pm = permille(F.col("nw") - F.col("ndw"), F.col("nw"))
     sym_pm = permille(n_hash + n_ell, F.col("nw"))
     mwl = permille(nonspace, F.col("nw"))
-    return scanned.select(
+    # permilles materialized BEFORE gopher_pass reads them: each appears
+    # both as an output column and inside the verdict, and the projection
+    # boundary keeps the full-text replace() scans behind sym_pm/mwl from
+    # being re-evaluated for the verdict (measured 0.93 -> 0.82 s at the
+    # 10x scale)
+    with_pm = scanned.select(
         "doc_id",
         F.col("nw").cast("long").alias("n_words"),
         F.col("ndw").cast("long").alias("n_distinct_words"),
@@ -866,12 +908,15 @@ def gopher_quality(
         rep_pm.alias("word_rep_permille"),
         sym_pm.alias("sym_word_permille"),
         mwl.alias("mean_word_len_x1000"),
+    )
+    return with_pm.select(
+        "*",
         (
-            F.col("nw").between(min_words, max_words)
-            & mwl.between(3000, 10_000)
-            & (sym_pm < 100)
-            & (dup_pm < 200)
-            & (rep_pm < 300)
+            F.col("n_words").between(min_words, max_words)
+            & F.col("mean_word_len_x1000").between(3000, 10_000)
+            & (F.col("sym_word_permille") < 100)
+            & (F.col("dup_2gram_permille") < 200)
+            & (F.col("word_rep_permille") < 300)
         ).alias("gopher_pass"),
     )
 
