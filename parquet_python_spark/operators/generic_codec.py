@@ -2186,6 +2186,28 @@ def _bare_local_parquet_units(df: DataFrame, needed: list[str]):
     return paths, units
 
 
+def _file_direct_tasks(
+    units: list[tuple[int, int, int, int]], parallelism: int
+) -> list[tuple[int, int, int, int]]:
+    """(file_idx, rg_idx, slice_start, slice_len) task list for file-direct
+    readers: one task per row group, split into ~TARGET_ROWS_PER_PART
+    pieces only in the few-row-group regime (each piece re-reads its row
+    group — parquet has no sub-row-group random access — so splitting is
+    gated on row groups < cores and a per-group compressed-byte cap)."""
+    tasks: list[tuple[int, int, int, int]] = []
+    for fi, rg, rows, nbytes in units:
+        if (
+            len(units) < parallelism
+            and rows > TARGET_ROWS_PER_PART
+            and nbytes <= _FAST_SCAN_SPLIT_BYTES_CAP
+        ):
+            for s in range(0, rows, TARGET_ROWS_PER_PART):
+                tasks.append((fi, rg, s, min(TARGET_ROWS_PER_PART, rows - s)))
+        else:
+            tasks.append((fi, rg, 0, rows))
+    return tasks
+
+
 def roundtrip(
     df: DataFrame,
     key_col: str,
@@ -2247,20 +2269,9 @@ def roundtrip(
         fast = _bare_local_parquet_units(df, sel)
         if fast is not None:
             paths, units = fast
-            par = df.sparkSession.sparkContext.defaultParallelism
-            tasks: list[tuple[int, int, int, int]] = []
-            for fi, rg, rows, nbytes in units:
-                if (
-                    len(units) < par
-                    and rows > TARGET_ROWS_PER_PART
-                    and nbytes <= _FAST_SCAN_SPLIT_BYTES_CAP
-                ):
-                    for s in range(0, rows, TARGET_ROWS_PER_PART):
-                        tasks.append(
-                            (fi, rg, s, min(TARGET_ROWS_PER_PART, rows - s))
-                        )
-                else:
-                    tasks.append((fi, rg, 0, rows))
+            tasks = _file_direct_tasks(
+                units, df.sparkSession.sparkContext.defaultParallelism
+            )
 
             def rt_files(batches):
                 import pyarrow.parquet as pq

@@ -323,6 +323,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 9) -> DataF
     # deterministic affine hash family h_i(x) = (a_i * x + b_i) mod 2^31-1
     A, B = _minhash_family(n_hashes)
 
+    # NOTE (round 6): a file-direct variant of this stage (pyarrow reads
+    # feeding _minhash_sig_matrix, as in generic_codec.roundtrip) was
+    # built and A/B-measured alternating against this path: no win — the
+    # band join + checkpoint dominate the candidates pipeline and the
+    # signature stage's scan->Arrow cost is small at both bench scales
+    # (50k docs: 1.43 vs 1.47 s; sf0.1: within noise).  Reverted per the
+    # measure-first rule; this comment records the dead end.
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(text: pd.Series) -> pd.Series:
         m = _minhash_sig_matrix(text.tolist(), A, B, k)
@@ -574,14 +581,25 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     counts for corpus auditing.  A chain of JVM regexp_replace/regexp_count
     — narrow map, no Python, no shuffle; the same regexes run verbatim in
     the DuckDB oracle."""
-    scrubbed = F.col(text_col)
-    counts = []
+    # one projection per pattern: each stage materializes its count and
+    # the next scrubbed text, so replace i runs once — chained expressions
+    # in a single projection re-evaluated replace 1 three times (count 2
+    # and 3 each embed the upstream replaces)
+    out = docs.select("doc_id", F.col(text_col).alias("__scrub"))
+    count_cols: list[str] = []
     for name, rx, repl in _PII_PATTERNS:
-        counts.append(
-            F.regexp_count(scrubbed, F.lit(rx)).cast("long").alias(f"n_{name}")
+        out = out.select(
+            "doc_id",
+            *count_cols,
+            F.regexp_count(F.col("__scrub"), F.lit(rx))
+            .cast("long")
+            .alias(f"n_{name}"),
+            F.regexp_replace(F.col("__scrub"), rx, repl).alias("__scrub"),
         )
-        scrubbed = F.regexp_replace(scrubbed, rx, repl)
-    return docs.select("doc_id", *counts, scrubbed.alias("text_clean"))
+        count_cols.append(f"n_{name}")
+    return out.select(
+        "doc_id", *count_cols, F.col("__scrub").alias("text_clean")
+    )
 
 
 def scrub_pii_oracle_sql(table: str = "documents") -> str:

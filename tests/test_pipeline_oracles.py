@@ -14,6 +14,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 M64 = (1 << 64) - 1
@@ -61,7 +62,7 @@ def test_minhash_signatures_rederived(spark, docs):
     got = {
         r["doc_id"]: list(r["minhash"])
         for r in minhash_signatures(docs).filter(
-            docs.doc_id.isin(list(sample))
+            F.col("doc_id").isin(list(sample))
         ).collect()
     }
     for doc_id, text in sample.items():
