@@ -581,25 +581,20 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     counts for corpus auditing.  A chain of JVM regexp_replace/regexp_count
     — narrow map, no Python, no shuffle; the same regexes run verbatim in
     the DuckDB oracle."""
-    # one projection per pattern: each stage materializes its count and
-    # the next scrubbed text, so replace i runs once — chained expressions
-    # in a single projection re-evaluated replace 1 three times (count 2
-    # and 3 each embed the upstream replaces)
-    out = docs.select("doc_id", F.col(text_col).alias("__scrub"))
-    count_cols: list[str] = []
+    # NOTE (round 6): staging this as one projection per pattern (so the
+    # chained replaces are materialized rather than re-embedded in each
+    # count) was A/B-measured alternating: a wash (0.40 vs 0.42 s at the
+    # 10x scale) — no HOFs here, so whole-stage codegen's subexpression
+    # elimination already evaluates each replace once.  Kept in the
+    # original single-projection form.
+    scrubbed = F.col(text_col)
+    counts = []
     for name, rx, repl in _PII_PATTERNS:
-        out = out.select(
-            "doc_id",
-            *count_cols,
-            F.regexp_count(F.col("__scrub"), F.lit(rx))
-            .cast("long")
-            .alias(f"n_{name}"),
-            F.regexp_replace(F.col("__scrub"), rx, repl).alias("__scrub"),
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(rx)).cast("long").alias(f"n_{name}")
         )
-        count_cols.append(f"n_{name}")
-    return out.select(
-        "doc_id", *count_cols, F.col("__scrub").alias("text_clean")
-    )
+        scrubbed = F.regexp_replace(scrubbed, rx, repl)
+    return docs.select("doc_id", *counts, scrubbed.alias("text_clean"))
 
 
 def scrub_pii_oracle_sql(table: str = "documents") -> str:
@@ -743,50 +738,24 @@ def text_metrics(docs: DataFrame) -> DataFrame:
     would scan the corpus five times); the individual operators above stay
     as the composable single-signal views of the same column builders.
 
-    Round 6: shared intermediates (lower(text) behind the five stopword
-    regexes, the split size, the translate counters, length) are
-    materialized in a first projection so each is computed once per row —
-    same values, measured 1.05 -> 0.79 s on the 10x corpus; the permilles
-    then read the materialized counters."""
+    NOTE (round 6): materializing shared intermediates (lower(text),
+    split/translate counters) in a first projection was A/B-measured
+    ALTERNATING against this form: a wash (0.86 vs 0.87 s at the 10x
+    scale) — this projection contains no higher-order functions, so it
+    whole-stage-codegens and codegen's subexpression elimination already
+    computes each shared piece once.  Contrast gopher_quality below,
+    whose HOF-bearing projections are interpreted (no CSE) and where the
+    same materializations measured 35% — the rule is per-projection:
+    HOFs force interpretation, interpretation re-evaluates."""
     docs = _with_min_parallelism(docs)
-    m = docs.select(
+    return docs.select(
         "doc_id",
-        "text",
-        F.lower(F.col("text")).alias("lt"),
         *_text_stats_cols(),
-    )
-    permille = lambda num, den: F.floor(  # noqa: E731 - quality_score idiom
-        F.lit(1000) * num / F.greatest(den, F.lit(1))
-    ).cast("long")
-    score_struct = F.array(
-        *[
-            F.struct(
-                F.regexp_count(F.col("lt"), F.lit(rx)).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, rx in LANG_PROBES.items()
-        ]
-    )
-    return m.select(
-        "doc_id",
-        "len_chars",
-        "n_ws_tokens",
-        "n_alpha",
-        "n_digit",
-        "n_punct",
         F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
         .cast("long")
         .alias("n_bpe_tokens"),
-        permille(
-            F.regexp_count(F.col("lt"), F.lit(r"\b(the|a|and|of|to|in|is)\b")),
-            F.col("n_ws_tokens"),
-        ).alias("stop_permille"),
-        permille(F.col("n_alpha"), F.col("len_chars")).alias("alpha_permille"),
-        permille(F.col("n_punct"), F.col("len_chars")).alias("punct_permille"),
-        permille(
-            F.col("len_chars") - F.col("n_ws_tokens") + 1, F.col("n_ws_tokens")
-        ).alias("mean_word_len_x1000"),
-        F.array_max(score_struct).getField("lang").alias("lang_pred"),
+        *_quality_cols(),
+        _lang_pred_col().alias("lang_pred"),
         F.md5(F.col("text")).alias("fp"),
     )
 
@@ -843,8 +812,9 @@ def gopher_quality(
     # array_max — struct comparison orders by (run, gram), so the max IS
     # "ORDER BY cnt DESC, gram DESC" (equal counts keep the larger gram),
     # exactly the old fold's tie rule; verified value-identical across the
-    # corpus and 2.3x faster (interpreted HOF steps carry only an int
-    # filter predicate, not a string-holding accumulator).  The sorted
+    # corpus, and the full operator measures 1.24 -> 0.81 s (alternating
+    # A/B, 10x scale — interpreted HOF steps carry only an int filter
+    # predicate, not a string-holding accumulator).  The sorted
     # array and the run starts are materialized as real columns first:
     # element_at() on a non-column expression re-evaluates the whole
     # expression per element (measured 67x WORSE) — the projection
@@ -911,11 +881,10 @@ def gopher_quality(
     rep_pm = permille(F.col("nw") - F.col("ndw"), F.col("nw"))
     sym_pm = permille(n_hash + n_ell, F.col("nw"))
     mwl = permille(nonspace, F.col("nw"))
-    # permilles materialized BEFORE gopher_pass reads them: each appears
-    # both as an output column and inside the verdict, and the projection
-    # boundary keeps the full-text replace() scans behind sym_pm/mwl from
-    # being re-evaluated for the verdict (measured 0.93 -> 0.82 s at the
-    # 10x scale)
+    # permilles materialized before gopher_pass reads them; the whole
+    # rewritten operator (HOF run-scan + these projections) measures
+    # 1.24 -> 0.81 s against the round-start form, alternating A/B at
+    # the 10x scale
     with_pm = scanned.select(
         "doc_id",
         F.col("nw").cast("long").alias("n_words"),
