@@ -2201,8 +2201,15 @@ def _file_direct_tasks(
             and rows > TARGET_ROWS_PER_PART
             and nbytes <= _FAST_SCAN_SPLIT_BYTES_CAP
         ):
-            for s in range(0, rows, TARGET_ROWS_PER_PART):
-                tasks.append((fi, rg, s, min(TARGET_ROWS_PER_PART, rows - s)))
+            # piece size: >= the codec chunk unit, and no more pieces per
+            # row group than its share of the core budget — each piece
+            # re-reads its row group's (column-pruned) chunks, so bounding
+            # pieces bounds the read amplification at larger scale factors
+            # without costing parallelism
+            budget = max(1, parallelism // len(units))
+            piece = max(TARGET_ROWS_PER_PART, -(-rows // budget))
+            for s in range(0, rows, piece):
+                tasks.append((fi, rg, s, min(piece, rows - s)))
         else:
             tasks.append((fi, rg, 0, rows))
     return tasks
